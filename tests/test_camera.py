@@ -1,0 +1,82 @@
+"""Camera model tests: project/unproject consistency, analytic Jacobians vs
+autodiff, stereo projection geometry."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tc2li_slam_tpu.geom import camera, triangulate, lie
+
+CAM = camera.Pinhole.create(fx=718.856, fy=718.856, cx=607.19, cy=185.2, bf=386.1448)
+
+
+def random_points(rng, n, zmin=1.0, zmax=50.0):
+    z = rng.uniform(zmin, zmax, size=n)
+    x = rng.uniform(-0.5, 0.5, size=n) * z
+    y = rng.uniform(-0.3, 0.3, size=n) * z
+    return np.stack([x, y, z], axis=-1).astype(np.float32)
+
+
+def test_project_unproject_roundtrip(rng):
+    p = random_points(rng, 128)
+    uv = camera.project(CAM, jnp.asarray(p))
+    p2 = camera.unproject(CAM, uv, jnp.asarray(p[:, 2]))
+    np.testing.assert_allclose(np.asarray(p2), p, rtol=1e-5, atol=1e-3)
+
+
+def test_project_jac_matches_autodiff(rng):
+    p = random_points(rng, 16)
+    J = np.asarray(camera.project_jac(CAM, jnp.asarray(p)))
+    J_ad = np.asarray(
+        jax.vmap(jax.jacfwd(lambda q: camera.project(CAM, q)))(jnp.asarray(p))
+    )
+    np.testing.assert_allclose(J, J_ad, rtol=1e-4, atol=1e-4)
+
+
+def test_project_stereo_jac_matches_autodiff(rng):
+    p = random_points(rng, 16)
+    J = np.asarray(camera.project_stereo_jac(CAM, jnp.asarray(p)))
+    J_ad = np.asarray(
+        jax.vmap(jax.jacfwd(lambda q: camera.project_stereo(CAM, q)))(jnp.asarray(p))
+    )
+    np.testing.assert_allclose(J, J_ad, rtol=1e-4, atol=1e-4)
+
+
+def test_stereo_disparity_depth(rng):
+    p = random_points(rng, 64)
+    uvr = np.asarray(camera.project_stereo(CAM, jnp.asarray(p)))
+    disparity = uvr[:, 0] - uvr[:, 2]
+    z = np.asarray(camera.depth_from_disparity(CAM, jnp.asarray(disparity)))
+    np.testing.assert_allclose(z, p[:, 2], rtol=1e-4)
+
+
+def test_kb8_project_unproject(rng):
+    cam = camera.KannalaBrandt8.create(
+        190.9, 190.9, 254.9, 256.9, 0.0034, 0.0007, -0.0034, 0.0007
+    )
+    p = random_points(rng, 64, zmin=0.5, zmax=10.0)
+    uv = camera.kb8_project(cam, jnp.asarray(p))
+    ray = np.asarray(camera.kb8_unproject(cam, uv))
+    ray_ref = p / p[:, 2:3]
+    np.testing.assert_allclose(ray, ray_ref, atol=1e-3)
+
+
+def test_triangulate_dlt(rng):
+    p_world = random_points(rng, 32, zmin=5, zmax=30)
+    T1w = lie.se3_identity()
+    xi = np.array([0.5, 0.02, -0.01, 0.01, 0.03, -0.02], dtype=np.float32)
+    T2w = lie.se3_exp(jnp.asarray(xi))
+    p1 = lie.se3_apply(T1w, jnp.asarray(p_world))
+    p2 = lie.se3_apply(T2w, jnp.asarray(p_world))
+    xn1 = p1[:, :2] / p1[:, 2:3]
+    xn2 = p2[:, :2] / p2[:, 2:3]
+    X = np.asarray(triangulate.triangulate_dlt(xn1, xn2, T1w, T2w))
+    np.testing.assert_allclose(X, p_world, rtol=1e-2, atol=5e-2)
+
+
+def test_parallax_cos():
+    p = jnp.asarray([[0.0, 0.0, 10.0]], dtype=jnp.float32)
+    c1 = jnp.asarray([0.0, 0.0, 0.0], dtype=jnp.float32)
+    c2 = jnp.asarray([10.0, 0.0, 0.0], dtype=jnp.float32)
+    cosang = float(triangulate.parallax_cos(p, c1, c2)[0])
+    assert abs(cosang - np.cos(np.pi / 4)) < 1e-5
