@@ -1,11 +1,14 @@
 """Batched k-point plane fitting for point-to-plane residuals.
 
-Replaces ``esti_plane`` (``LidarFrontEnd.cpp:454-482``): the reference solves,
+Replaces ``esti_plane`` (``LidarFrontEnd.cpp:454-482``). The reference solves,
 per query point and per ESEKF iteration, the 5x3 least-squares system
-``A n = -1`` (plane through k neighbors in Hesse-like form), normalizes, and
-validates that every neighbor is within a threshold of the plane. Here the
-whole scan's fits run as one batched normal-equation solve (k x 3 -> 3x3
-Cholesky) — MXU-friendly, no per-point loop.
+``A n = -1`` in double precision. That formulation is ill-conditioned in f32
+(it degenerates when the plane passes near the origin or the points are far
+out), so the TPU version fits via the centered second-moment matrix instead:
+``n`` = eigenvector of the smallest eigenvalue of ``Σ (p-μ)(p-μ)^T``,
+``d = -n·μ`` — one batched 3x3 ``eigh`` for the whole scan. The acceptance
+test is the same as the reference's: every neighbor within ``threshold`` of
+the plane.
 """
 
 from __future__ import annotations
@@ -21,29 +24,28 @@ def fit_planes(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fit a plane n·p + d = 0 (|n| = 1) through each neighbor set.
 
-    Returns (normals [Q, 3], d [Q], ok [Q]); ``ok`` requires all valid
-    neighbors within ``threshold`` of the plane and a well-conditioned solve —
-    the same accept test as the reference (plane_thr, ``esti_plane``).
+    Returns (normals [Q, 3], d [Q], ok [Q]); ``ok`` requires >= 3 valid
+    neighbors, all valid neighbors within ``threshold`` of the plane, and a
+    finite solution.
     """
     w = valid.astype(neighbors.dtype)  # [Q, k]
-    pts = neighbors * w[..., None]
-    # Solve A n = -1 in weighted least squares: (A^T W A) n = -A^T W 1
-    AtA = jnp.einsum("qki,qkj->qij", pts, neighbors * w[..., None])
-    At1 = -jnp.sum(pts, axis=-2)  # [Q, 3]
-    # Tikhonov floor keeps the solve finite for degenerate sets; those fail
-    # the residual test anyway.
-    AtA = AtA + 1e-9 * jnp.eye(3, dtype=neighbors.dtype)
-    nvec = jnp.linalg.solve(AtA, At1[..., None])[..., 0]  # [Q, 3]
+    cnt = jnp.maximum(jnp.sum(w, axis=-1), 1.0)  # [Q]
+    mu = jnp.sum(neighbors * w[..., None], axis=-2) / cnt[..., None]  # [Q, 3]
+    centered = (neighbors - mu[..., None, :]) * w[..., None]
+    cov = jnp.einsum("qki,qkj->qij", centered, centered) / cnt[..., None, None]
+    # eigh returns ascending eigenvalues; the normal is the first eigenvector.
+    evals, evecs = jnp.linalg.eigh(cov + 1e-12 * jnp.eye(3, dtype=cov.dtype))
+    normals = evecs[..., :, 0]
+    d = -jnp.einsum("qi,qi->q", normals, mu)
 
-    norm = jnp.linalg.norm(nvec, axis=-1)
-    norm_safe = jnp.maximum(norm, 1e-12)
-    normals = nvec / norm_safe[..., None]
-    d = 1.0 / norm_safe
+    finite = jnp.all(jnp.isfinite(normals), axis=-1) & jnp.isfinite(d)
+    normals = jnp.where(finite[..., None], normals, 0.0)
+    d = jnp.where(finite, d, 0.0)
 
     resid = jnp.abs(jnp.einsum("qki,qi->qk", neighbors, normals) + d[..., None])
     ok = jnp.all(jnp.where(valid, resid < threshold, True), axis=-1)
     ok &= jnp.sum(valid, axis=-1) >= 3
-    ok &= jnp.isfinite(norm) & (norm > 1e-9)
+    ok &= finite
     return normals, d, ok
 
 

@@ -1,0 +1,171 @@
+"""LiDAR-inertial odometry: the per-scan FAST-LIO2 pipeline step.
+
+TPU-native equivalent of ``LidarInertialProcess`` (``LidarFrontEnd.cpp:615-780``)
+— one functional per-scan step instead of a free-running thread with guarded
+globals:
+
+    predict (IMU scan window) -> undistort -> voxel downsample ->
+    iterated ESEKF point-to-plane update against the voxel map ->
+    map insert (+ recenter when near the grid edge)
+
+The measurement model matches ``h_share_model`` (``LidarFrontEnd.cpp:485-602``):
+per point, 5-NN in the map, plane fit with 0.1 threshold, weight gate
+``s = 1 - 0.9|pd|/sqrt(|p|)`` kept when > 0.9, residual ``-pd``, H columns for
+position, rotation and (optionally) the LiDAR-IMU extrinsic.
+
+Also provides the camera-pose-driven variant used in STEREO_LIDAR mode
+(``LidarCameraProcess`` / ``feature_extraction``, ``LidarFrontEnd.cpp:801-1073``):
+no EKF — just select planar inlier points given an externally supplied pose.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..estimation import esekf, undistort as undist
+from ..geom import lie
+from ..ops import plane_fit, pointcloud, voxel_map
+
+
+class LioConfig(NamedTuple):
+    scan_voxel: float = 0.5          # filter_size_surf
+    map_voxel: float = 0.5           # filter_size_map
+    plane_thresh: float = 0.1        # esti_plane threshold
+    meas_cov: float = 0.001          # LASER_POINT_COV
+    max_iters: int = 4               # NUM_MAX_ITERATIONS
+    det_range: float = 100.0
+    blind: float = 4.0
+    estimate_extrinsic: bool = False
+
+
+def make_h_fn(m: voxel_map.VoxelMap, points_l: jax.Array, valid: jax.Array,
+              cfg: LioConfig):
+    """Build the measurement closure for the iterated update.
+
+    ``points_l`` [M, 3] are undistorted, downsampled points in the LiDAR
+    frame at scan end. Re-evaluated at each GN iterate with the *current*
+    state (fresh kNN + plane fit, exactly like ``h_share_model``).
+    """
+
+    def h_fn(x: esekf.State):
+        p_b = points_l @ x.R_LI.T + x.t_LI          # body frame
+        p_w = p_b @ x.R.T + x.pos                   # world frame
+        dists, nbrs, nb_valid = voxel_map.knn(m, p_w, k=5, radius=2)
+        normals, d, plane_ok = plane_fit.fit_planes(nbrs, nb_valid, cfg.plane_thresh)
+        pd = plane_fit.point_to_plane(p_w, normals, d)
+        # FAST-LIO inlier gate: s = 1 - 0.9 |pd| / sqrt(|p_l|)
+        norm_p = jnp.linalg.norm(points_l, axis=-1)
+        s = 1.0 - 0.9 * jnp.abs(pd) / jnp.sqrt(jnp.maximum(norm_p, 1e-6))
+        ok = valid & plane_ok & (s > 0.9) & (dists[:, 0] < 5.0)
+
+        M = points_l.shape[0]
+        H = jnp.zeros((M, esekf.ERR_DIM), points_l.dtype)
+        H = H.at[:, esekf.POS].set(normals)
+        # d pd / d rot (right perturbation on R): n^T d(R Exp(δ) p_b)/dδ
+        Rn = normals @ x.R  # = R^T n  (row convention)
+        H = H.at[:, esekf.ROT].set(jnp.cross(p_b, Rn))
+        if cfg.estimate_extrinsic:
+            # d p_b/d ext_rot chains through R: rows in the lidar frame.
+            RLn = Rn @ x.R_LI
+            H = H.at[:, esekf.EXT_R].set(jnp.cross(points_l, RLn))
+            H = H.at[:, esekf.EXT_T].set(Rn)
+        # Hard-zero masked rows so no non-finite value can leak through 0*x.
+        okf = ok[:, None]
+        z = jnp.where(ok, pd, 0.0)
+        z = jnp.where(jnp.isfinite(z), z, 0.0)
+        H = jnp.where(okf & jnp.isfinite(H), H, 0.0)
+        ok &= jnp.all(jnp.isfinite(H), axis=-1)
+        return z, H, ok
+
+    return h_fn
+
+
+class ScanResult(NamedTuple):
+    filt: esekf.Filter
+    map: voxel_map.VoxelMap
+    points_world: jax.Array   # [M, 3] downsampled scan in world frame
+    points_valid: jax.Array   # [M]
+    n_iters: jax.Array
+    n_effective: jax.Array    # matched planar inliers at the final state
+
+
+@partial(jax.jit, static_argnames=("cfg", "map_insert"))
+def lio_scan_step(
+    filt: esekf.Filter,
+    m: voxel_map.VoxelMap,
+    scan_l: jax.Array,     # [Mraw, 3] raw scan, LiDAR frame (padded)
+    t_points: jax.Array,   # [Mraw] per-point relative times
+    scan_valid: jax.Array, # [Mraw]
+    gyro: jax.Array,       # [N, 3] IMU window covering the scan (padded)
+    acc: jax.Array,        # [N, 3]
+    dts: jax.Array,        # [N]
+    t_samples: jax.Array,  # [N] sample times within scan (+inf pad)
+    noise: esekf.NoiseCfg,
+    cfg: LioConfig,
+    map_insert: bool = True,
+) -> ScanResult:
+    """One full FAST-LIO2 scan iteration (LidarFrontEnd.cpp:681-775)."""
+    # 1. propagate through the scan's IMU samples
+    filt, R_traj, p_traj = esekf.predict(filt, gyro, acc, dts, noise)
+
+    # 2. motion-compensate points to scan end
+    pts_end = undist.undistort(
+        scan_l, t_points, t_samples, R_traj, p_traj, filt.x.R_LI, filt.x.t_LI
+    )
+
+    # 3. preprocess + voxel downsample in lidar frame
+    keep = pointcloud.preprocess(pts_end, t_points, scan_valid, blind=cfg.blind)
+    pts_ds, ds_valid = pointcloud.voxel_downsample(pts_end, keep, cfg.scan_voxel)
+
+    # 4. iterated point-to-plane update
+    h_fn = make_h_fn(m, pts_ds, ds_valid, cfg)
+    filt, n_iters = esekf.update_iterated(
+        filt, h_fn, jnp.float32(cfg.meas_cov), max_iters=cfg.max_iters
+    )
+
+    # 5. map insert at the converged pose
+    p_b = pts_ds @ filt.x.R_LI.T + filt.x.t_LI
+    p_w = p_b @ filt.x.R.T + filt.x.pos
+    _, _, ok = h_fn(filt.x)
+    n_eff = jnp.sum(ok)
+    if map_insert:
+        m = voxel_map.insert(m, p_w, ds_valid)
+    return ScanResult(filt, m, p_w, ds_valid, n_iters, n_eff)
+
+
+def maybe_recenter(m: voxel_map.VoxelMap, pos: jax.Array, margin: float = 150.0):
+    """Host-side helper: recenter the grid when the pose nears the edge
+    (``lasermap_fov_segment`` semantics). Returns (map, did_recenter)."""
+    if bool(voxel_map.needs_recenter(m, pos, margin)):
+        return voxel_map.recenter(m, pos), True
+    return m, False
+
+
+# ---------------------------------------------------------------------------
+# Camera-pose-driven mode (STEREO_LIDAR): plane-feature selection, no EKF
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def select_plane_features(
+    m: voxel_map.VoxelMap,
+    points_l: jax.Array,  # [M, 3] scan in LiDAR frame (downsampled)
+    valid: jax.Array,     # [M]
+    T_wl: jax.Array,      # [4, 4] world-from-lidar pose (from camera track)
+    cfg: LioConfig,
+) -> jax.Array:
+    """Planar-inlier mask, as in ``feature_extraction`` (LidarFrontEnd.cpp:999).
+
+    Used by the visual pipeline to pick the LiDAR points that participate in
+    the BALM local-BA residual for a keyframe.
+    """
+    p_w = lie.se3_apply(T_wl, points_l)
+    dists, nbrs, nb_valid = voxel_map.knn(m, p_w, k=5, radius=1)
+    normals, d, plane_ok = plane_fit.fit_planes(nbrs, nb_valid, cfg.plane_thresh)
+    pd = plane_fit.point_to_plane(p_w, normals, d)
+    norm_p = jnp.linalg.norm(points_l, axis=-1)
+    s = 1.0 - 0.9 * jnp.abs(pd) / jnp.sqrt(jnp.maximum(norm_p, 1e-6))
+    return valid & plane_ok & (s > 0.9)
