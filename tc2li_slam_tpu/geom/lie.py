@@ -18,8 +18,10 @@ Conventions
   Jacobians follow Barfoot's conventions: ``exp(phi + dphi) ~= exp(phi)
   exp(Jr(phi) dphi)``.
 
-All angle thresholds use a quadratic Taylor fallback below ``_EPS`` so f32
-stays accurate on TPU without f64.
+All angle thresholds switch to Taylor series below ``_EPS`` = 5e-3 — in f32
+the closed forms (1-cos θ)/θ² etc. cancel catastrophically well above the
+usual 1e-6 threshold, so the switchover is early and the series carry θ⁴
+terms (series error ~1e-13 at the boundary, far below f32 ulp).
 """
 
 from __future__ import annotations
@@ -27,7 +29,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_EPS = 1e-6
+_EPS = 5e-3
+
+
+def _safe_theta(w: jax.Array) -> jax.Array:
+    """|w| with a NaN-free gradient at w = 0 (norm's grad is 0/0 there).
+
+    The floor only moves theta by <= 1e-12, far below the Taylor-branch
+    threshold, so values are unchanged; reverse-mode gets w/theta_floor = 0.
+    """
+    return jnp.sqrt(jnp.maximum(jnp.sum(w * w, axis=-1), 1e-24))
 
 
 # ---------------------------------------------------------------------------
@@ -57,28 +68,33 @@ def _sinc(x: jax.Array) -> jax.Array:
     """sin(x)/x with Taylor fallback."""
     small = jnp.abs(x) < _EPS
     xs = jnp.where(small, 1.0, x)  # avoid 0/0 in the false branch
-    return jnp.where(small, 1.0 - x * x / 6.0, jnp.sin(xs) / xs)
+    x2 = x * x
+    return jnp.where(small, 1.0 - x2 / 6.0 + x2 * x2 / 120.0, jnp.sin(xs) / xs)
 
 
 def _cosc(x: jax.Array) -> jax.Array:
     """(1 - cos(x)) / x**2 with Taylor fallback."""
     small = jnp.abs(x) < _EPS
     xs = jnp.where(small, 1.0, x)
-    return jnp.where(small, 0.5 - x * x / 24.0, (1.0 - jnp.cos(xs)) / (xs * xs))
+    x2 = x * x
+    return jnp.where(small, 0.5 - x2 / 24.0 + x2 * x2 / 720.0, (1.0 - jnp.cos(xs)) / (xs * xs))
 
 
 def _sinc3(x: jax.Array) -> jax.Array:
     """(x - sin(x)) / x**3 with Taylor fallback."""
     small = jnp.abs(x) < _EPS
     xs = jnp.where(small, 1.0, x)
+    x2 = x * x
     return jnp.where(
-        small, 1.0 / 6.0 - x * x / 120.0, (xs - jnp.sin(xs)) / (xs * xs * xs)
+        small,
+        1.0 / 6.0 - x2 / 120.0 + x2 * x2 / 5040.0,
+        (xs - jnp.sin(xs)) / (xs * xs * xs),
     )
 
 
 def so3_exp(w: jax.Array) -> jax.Array:
     """Rodrigues: so3 tangent [..., 3] -> rotation matrix [..., 3, 3]."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_theta(w)
     W = hat(w)
     W2 = W @ W
     a = _sinc(theta)[..., None, None]
@@ -137,7 +153,7 @@ def so3_log(R: jax.Array) -> jax.Array:
 
 def so3_left_jacobian(w: jax.Array) -> jax.Array:
     """Left Jacobian J_l of SO(3): [..., 3] -> [..., 3, 3]."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_theta(w)
     W = hat(w)
     W2 = W @ W
     a = _cosc(theta)[..., None, None]
@@ -153,16 +169,17 @@ def so3_right_jacobian(w: jax.Array) -> jax.Array:
 
 def so3_left_jacobian_inv(w: jax.Array) -> jax.Array:
     """Inverse left Jacobian of SO(3)."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta = _safe_theta(w)
     W = hat(w)
     W2 = W @ W
     half = 0.5
     # coefficient: 1/theta^2 (1 - theta sin / (2 (1-cos)))
     small = theta < _EPS
     ts = jnp.where(small, 1.0, theta)
+    t2 = theta * theta
     cot_term = jnp.where(
         small,
-        1.0 / 12.0 + theta * theta / 720.0,
+        1.0 / 12.0 + t2 / 720.0 + t2 * t2 / 30240.0,
         (1.0 / (ts * ts)) - (jnp.sin(ts) / (2.0 * ts * (1.0 - jnp.cos(ts)))),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -209,10 +226,17 @@ def se3_inverse(T: jax.Array) -> jax.Array:
 
 
 def se3_apply(T: jax.Array, p: jax.Array) -> jax.Array:
-    """Apply [..., 4, 4] to points [..., N, 3] (or [..., 3])."""
+    """Apply SE(3) to points.
+
+    Two layouts are supported, disambiguated by rank:
+    - ``p.ndim == T.ndim`` — a point SET per transform: T [..., 4, 4] applied
+      to p [..., N, 3] (includes the common T [4,4], p [N,3] case);
+    - ``p.ndim == T.ndim - 1`` — batch-ALIGNED single points: T [..., 4, 4]
+      with p [..., 3], one transform per point.
+    """
     R = rotation(T)
     t = translation(T)
-    if p.ndim == T.ndim - 1:  # [..., N, 3] batched points
+    if p.ndim == T.ndim:  # point set per transform
         return p @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
     return (R @ p[..., None])[..., 0] + t
 
@@ -293,7 +317,7 @@ def sim3_exp(xi: jax.Array) -> jax.Array:
     rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
     s = jnp.exp(sigma)
     R = so3_exp(phi)
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = _safe_theta(phi)
     W = _sim3_W(theta, sigma, phi, xi.dtype)
     t = (W @ rho[..., None])[..., 0]
     return sim3(s, R, t)
@@ -355,7 +379,7 @@ def sim3_log(S: jax.Array) -> jax.Array:
     t = translation(S)
     sigma = jnp.log(s)
     phi = so3_log(R)
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = _safe_theta(phi)
     W = _sim3_W(theta, sigma, phi, S.dtype)
     rho = jnp.linalg.solve(W, t[..., None])[..., 0]
     return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)
