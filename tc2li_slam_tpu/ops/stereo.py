@@ -46,9 +46,14 @@ def match_stereo(
     disp_ok = (disp >= -2.0) & (disp <= max_d)
     lvl_ok = matching.level_mask(kpl_level, kpr_level)
     mask = row_ok & disp_ok & lvl_ok
+    # mutual L<->R best agreement + ratio test: repetitive texture makes
+    # one-directional Hamming matches unreliable; the reference relies on
+    # the SAD stage to catch these — the mutual+ratio gates remove most
+    # gross mismatches up front (they are the dominant source of
+    # catastrophic stereo depths).
     idx, dist, ok = matching.match_descriptors(
         kpl_desc, kpr_desc, kpl_valid, kpr_valid, mask,
-        max_dist=matching.TH_HIGH, ratio=1.0,
+        max_dist=matching.TH_HIGH, ratio=0.9, mutual=True,
     )
     disparity = jnp.clip(kpl_uv[:, 0] - kpr_uv[idx, 0], 0.01, None)
     return idx, disparity, ok

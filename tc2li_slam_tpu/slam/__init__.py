@@ -1,1 +1,1 @@
-from . import lio  # noqa: F401
+from . import config, lio, local_mapping, mapstate, system, tracking, trajectory  # noqa: F401

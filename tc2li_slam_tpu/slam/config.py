@@ -1,0 +1,100 @@
+"""Unified typed configuration tree.
+
+Replaces the reference's four config layers (OpenCV YAML Settings + legacy
+``Parse*ParamFile`` + rosparam for the LiDAR front end + compile-time macros —
+see SURVEY §5) with one dataclass tree. Field defaults mirror the shipped
+KITTI configs (``config/Camera-Lidar/KITTI00-02.yaml``, ``config/kitti.yaml``,
+launch files)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    fx: float = 718.856
+    fy: float = 718.856
+    cx: float = 607.1928
+    cy: float = 185.2157
+    width: int = 1241
+    height: int = 376
+    baseline: float = 0.537        # Camera.bf / fx
+    fps: float = 10.0
+    th_depth: float = 35.0         # ThDepth * baseline = close-point cutoff [m]
+
+    @property
+    def bf(self):
+        return self.fx * self.baseline
+
+
+@dataclass(frozen=True)
+class OrbConfig:
+    n_features: int = 2000
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    ini_th_fast: float = 20.0
+    min_th_fast: float = 7.0
+
+    def scale_factors(self) -> np.ndarray:
+        return self.scale_factor ** np.arange(self.n_levels)
+
+    def sigma2(self) -> np.ndarray:
+        return self.scale_factors() ** 2
+
+
+@dataclass(frozen=True)
+class ImuConfig:
+    noise_gyro: float = 1.7e-4
+    noise_acc: float = 2.0e-3
+    gyro_walk: float = 1.9e-5
+    acc_walk: float = 3.0e-3
+    frequency: float = 100.0
+    T_bc: np.ndarray = field(default_factory=lambda: np.eye(4))  # body<-cam
+
+
+@dataclass(frozen=True)
+class LidarConfig:
+    enabled: bool = True
+    w_lba: float = 0.01            # LiDAR.wLBA
+    T_cl: np.ndarray = field(default_factory=lambda: np.eye(4))  # cam<-lidar
+    scan_voxel: float = 0.5        # filter_size_surf
+    map_voxel: float = 0.5
+    blind: float = 2.0
+    det_range: float = 100.0
+    plane_thresh: float = 0.1
+    max_iters: int = 3             # ESEKF NUM_MAX_ITERATIONS
+    meas_cov: float = 0.001
+    map_capacity: int = 1 << 19
+    kf_points: int = 2048          # stored surf points per keyframe
+    balm_voxel: float = 1.0
+    balm_max_voxels: int = 512
+    balm_min_points: int = 15
+    balm_window: int = 6           # LiDAR BA window (OptimizerWithLidar.cc:245)
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    match_radius: float = 15.0     # projection search window (px, x scale)
+    match_radius_narrow: float = 7.0
+    min_inliers: int = 30
+    kf_track_ratio: float = 0.75   # NeedNewKeyFrame refKF ratio
+    kf_min_interval: int = 0
+    kf_max_interval: int = 10
+    max_kf: int = 512
+    max_lm: int = 32768
+    max_obs: int = 12
+    local_window: int = 8          # local BA covisible window
+    ba_iters: int = 8
+
+
+@dataclass(frozen=True)
+class SystemConfig:
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    orb: OrbConfig = field(default_factory=OrbConfig)
+    imu: ImuConfig = field(default_factory=ImuConfig)
+    lidar: LidarConfig = field(default_factory=LidarConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    use_imu: bool = False          # IMU_STEREO_LIDAR vs STEREO_LIDAR

@@ -1,0 +1,158 @@
+"""Local mapping: keyframe processing + windowed (LiDAR-visual) BA.
+
+Synchronous per-keyframe re-design of the reference's LocalMapping thread
+(``LocalMapping.cc``): where the reference runs a free loop (ProcessNewKeyFrame
+-> culling -> CreateNewMapPoints -> SearchInNeighbors -> local BA), the TPU
+build performs one deterministic mapping step per keyframe insertion — the
+bounded-compute equivalent (no ``mbAbortBA`` interruption needed).
+
+The local BA is ``LocalLVBundleAdjustment`` (OptimizerWithLidar.cc:60): the
+covisibility window's poses + landmarks with reprojection factors, plus the
+BALM plane eigen-factor over the last ``balm_window`` LiDAR-bearing KFs,
+injected into the reduced camera system as a dense quadratic.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geom import camera as cam_mod, lie
+from ..solver import balm as balm_mod, lm as lm_mod
+from . import mapstate
+
+
+class LidarStore(NamedTuple):
+    """Per-keyframe LiDAR surf points (LiDAR frame), fixed capacity."""
+
+    points: jax.Array   # [K, Ms, 3]
+    valid: jax.Array    # [K, Ms]
+
+    @staticmethod
+    def create(max_kf: int, n_points: int):
+        return LidarStore(
+            jnp.zeros((max_kf, n_points, 3), jnp.float32),
+            jnp.zeros((max_kf, n_points), bool),
+        )
+
+    def set_kf(self, kf_id, pts, valid):
+        return LidarStore(
+            self.points.at[kf_id].set(pts),
+            self.valid.at[kf_id].set(valid),
+        )
+
+
+def select_window(m: mapstate.MapState, kf_id: int, n_window: int):
+    """Covisibility window KF ids (host-side): the new KF + best covisible.
+
+    Falls back to temporal neighbors when covisibility is thin (early map).
+    Returns (window list, fixed mask list) — oldest window KF is the gauge
+    anchor, mirroring the reference fixing observer KFs.
+    """
+    neigh, w = mapstate.top_covisible(m, jnp.int32(kf_id), n_window - 1, min_weight=10)
+    neigh = [int(i) for i, ww in zip(np.asarray(neigh), np.asarray(w)) if i >= 0 and ww > 0]
+    window = sorted(set([kf_id] + neigh))
+    # temporal fallback
+    want = min(n_window, int(m.n_kf))
+    i = kf_id - 1
+    while len(window) < want and i >= 0:
+        if i not in window:
+            window.append(i)
+        i -= 1
+    window = sorted(window)
+    fixed = [w == window[0] for w in window]
+    return window, fixed
+
+
+def run_local_ba(
+    m: mapstate.MapState,
+    lidar: LidarStore | None,
+    kf_id: int,
+    cam: cam_mod.Pinhole,
+    sigma2: jax.Array,
+    T_cl: jax.Array,
+    n_window: int = 8,
+    balm_window: int = 6,
+    balm_voxel: float = 1.0,
+    balm_max_voxels: int = 512,
+    balm_min_points: int = 15,
+    w_lba: float = 0.01,
+    iters: int = 8,
+) -> mapstate.MapState:
+    """One LocalLVBundleAdjustment pass around ``kf_id``; returns updated map."""
+    window, fixed = select_window(m, kf_id, n_window)
+    P = len(window)
+    window_arr = jnp.asarray(window, jnp.int32)
+    fixed_arr = jnp.asarray(fixed)
+
+    win_pos, uvr, inv_sigma2, stereo, ok = mapstate.landmark_major_obs(
+        m, window_arr, sigma2
+    )
+    obs = lm_mod.BAObservations(
+        pose_idx=win_pos, uv=uvr, inv_sigma2=inv_sigma2, stereo=stereo, valid=ok
+    )
+    # landmarks active in this window
+    lm_active = jnp.any(ok, axis=1) & m.lm_valid
+
+    T0 = m.kf_T_cw[window_arr]
+    X0 = m.lm_pos
+
+    extra_fn = None
+    use_balm = lidar is not None and w_lba > 0
+    if use_balm:
+        # last balm_window KFs of the window carry the lidar residual
+        lidar_ids = window[-min(balm_window, P):]
+        lidx = jnp.asarray(lidar_ids, jnp.int32)
+        n_l = len(lidar_ids)
+        T_wl_init = jax.vmap(
+            lambda T: lie.se3_inverse(T) @ T_cl
+        )(m.kf_T_cw[lidx])
+        clusters = balm_mod.build_clusters(
+            lidar.points[lidx], lidar.valid[lidx], T_wl_init,
+            voxel_size=balm_voxel, max_voxels=balm_max_voxels,
+            min_points=balm_min_points,
+        )
+        if int(clusters.valid.sum()) == 0:
+            use_balm = False
+        else:
+            # window positions of the lidar KFs
+            pos_in_win = jnp.asarray(
+                [window.index(i) for i in lidar_ids], jnp.int32
+            )
+            # chain: left-tangent δ of T_cw -> right-tangent of T_wl is
+            # -Adj(T_lc) δ  (T_wl = T_cw^-1 T_cl)
+            C1 = -lie.se3_adjoint(lie.se3_inverse(T_cl))  # [6, 6]
+
+            def extra_fn(T_cw_win):
+                T_wl = jax.vmap(lambda T: lie.se3_inverse(T) @ T_cl)(
+                    T_cw_win[pos_in_win]
+                )
+                q = balm_mod.quadratic(clusters, T_wl)
+                # block-transport to window tangents
+                D = 6 * P
+                H = jnp.zeros((D, D), T_cw_win.dtype)
+                g = jnp.zeros((D,), T_cw_win.dtype)
+                Hq = q.H.reshape(n_l, 6, n_l, 6)
+                gq = q.g.reshape(n_l, 6)
+                # transport each block: H_ab -> C1^T H_ab C1 ; g_a -> C1^T g_a
+                Ht = jnp.einsum("ki,akbl,lj->abij", C1, Hq, C1)
+                gt = jnp.einsum("ki,ak->ai", C1, gq)
+                rows = pos_in_win[:, None] * 6 + jnp.arange(6)[None, :]  # [n_l, 6]
+                H = H.at[rows[:, :, None, None], rows[None, None, :, :]].add(
+                    Ht.transpose(0, 2, 1, 3) * w_lba
+                )
+                g = g.at[rows.reshape(-1)].add(gt.reshape(-1) * w_lba)
+                return H, g, q.cost * w_lba
+
+    res = lm_mod.local_ba(
+        cam, T0, X0, obs, fixed_arr, lm_active, iters=iters, extra_fn=extra_fn
+    )
+
+    # write back window poses + landmark positions; erase chi2 outlier obs
+    new_T = m.kf_T_cw.at[window_arr].set(res.T_cw)
+    new_X = jnp.where(lm_active[:, None], res.X_w, m.lm_pos)
+    m = m._replace(kf_T_cw=new_T, lm_pos=new_X)
+    return m

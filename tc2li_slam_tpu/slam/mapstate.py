@@ -212,11 +212,11 @@ def add_landmarks(
         lm_found=m.lm_found.at[slot].set(jnp.where(can, 1, m.lm_found[slot])),
         n_lm=m.n_lm + jnp.sum(can).astype(jnp.int32),
     )
-    # link the keyframe features to the new landmarks
-    fslot = jnp.where(can, feat_idx, 0)
-    new_links = m.kf_feat_lm.at[kf_id, fslot].set(
-        jnp.where(can, lm_ids, m.kf_feat_lm[kf_id, fslot])
-    )
+    # link the keyframe features to the new landmarks; dead writes go to an
+    # out-of-bounds lane and are dropped (slot 0 would get clobbered by the
+    # last duplicate scatter otherwise)
+    fslot = jnp.where(can, feat_idx, m.F)
+    new_links = m.kf_feat_lm.at[kf_id, fslot].set(lm_ids, mode="drop")
     return m._replace(kf_feat_lm=new_links), lm_ids
 
 

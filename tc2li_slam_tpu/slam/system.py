@@ -1,0 +1,310 @@
+"""System facade: the per-frame SLAM entry point and host state machine.
+
+Replaces ``System`` + the ``Tracking`` state machine + the LocalMapping and
+LiDAR-front-end threads (System.cc, Tracking.cc, LocalMapping.cc,
+LidarFrontEnd.cpp) with a single-program pipeline: all numerics are jitted
+fixed-shape kernels; the host only sequences them and takes the branchy
+decisions (initialization, keyframe policy, loss handling) — mirroring how
+the reference's logic partitions naturally.
+
+STEREO_LIDAR mode (camera-pose-driven LiDAR, ``LidarCameraProcess``):
+
+    per frame:  build_frame -> const-velocity predict -> track_frame
+                (guided match + pose-only LM) -> voxel-map insert of the
+                scan at the optimized pose -> KF decision
+    per KF:     store planar LiDAR features -> create stereo landmarks ->
+                covisibility-window local BA with the BALM eigen-factor
+
+Trajectory bookkeeping matches the reference: per-frame poses stored
+relative to their reference KF and re-composed at save time, so local-BA
+pose corrections propagate to the whole trajectory
+(Tracking.cc:2393-2411, System::SaveTrajectoryKITTI).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geom import camera as cam_mod, lie
+from ..ops import pointcloud, voxel_map
+from . import config as cfg_mod, lio, local_mapping, mapstate, tracking, trajectory
+
+
+class TrackingState:
+    NOT_INITIALIZED = 0
+    OK = 1
+    RECENTLY_LOST = 2
+    LOST = 3
+
+
+class System:
+    """Stereo(+LiDAR) SLAM system (System::TrackStereoLidar equivalent)."""
+
+    def __init__(self, cfg: cfg_mod.SystemConfig):
+        self.cfg = cfg
+        c = cfg.camera
+        self.cam = cam_mod.Pinhole.create(c.fx, c.fy, c.cx, c.cy, bf=c.bf)
+        self.scale_factors = jnp.asarray(cfg.orb.scale_factors(), jnp.float32)
+        self.sigma2 = jnp.asarray(cfg.orb.sigma2(), jnp.float32)
+        t = cfg.tracking
+        self.map = mapstate.create(
+            max_kf=t.max_kf, max_feats=cfg.orb.n_features,
+            max_lm=t.max_lm, max_obs=t.max_obs,
+        )
+        self.T_cl = jnp.asarray(cfg.lidar.T_cl, jnp.float32)
+        self.lidar_enabled = cfg.lidar.enabled
+        if self.lidar_enabled:
+            self.vmap = voxel_map.create(cfg.lidar.map_capacity, cfg.lidar.map_voxel)
+            self.lidar_store = local_mapping.LidarStore.create(
+                t.max_kf, cfg.lidar.kf_points
+            )
+            self.lio_cfg = lio.LioConfig(
+                scan_voxel=cfg.lidar.scan_voxel, map_voxel=cfg.lidar.map_voxel,
+                plane_thresh=cfg.lidar.plane_thresh, meas_cov=cfg.lidar.meas_cov,
+                max_iters=cfg.lidar.max_iters, det_range=cfg.lidar.det_range,
+                blind=cfg.lidar.blind,
+            )
+        else:
+            self.vmap = None
+            self.lidar_store = None
+
+        self.state = TrackingState.NOT_INITIALIZED
+        self.T_cw = jnp.eye(4)            # current camera pose (world->cam)
+        self.velocity = jnp.eye(4)        # T_cw_k @ inv(T_cw_{k-1})
+        self.last_T_cw = jnp.eye(4)
+        self.ref_kf = -1
+        self.ref_kf_tracked = 0
+        self.frames_since_kf = 0
+        self.frame_idx = -1
+        # trajectory: (timestamp, ref_kf, T_cur_wrt_ref) — relative storage
+        self.traj: list[tuple[float, int, np.ndarray]] = []
+        self.n_lost = 0
+
+    # ------------------------------------------------------------------
+    def track(self, img_l, img_r, t, scan=None, scan_valid=None) -> np.ndarray:
+        """Process one stereo(+LiDAR) frame; returns T_cw [4, 4] (numpy)."""
+        self.frame_idx += 1
+        frame = tracking.build_frame(
+            jnp.asarray(img_l), jnp.asarray(img_r), self.cam,
+            self.scale_factors,
+            n_features=self.cfg.orb.n_features, n_levels=self.cfg.orb.n_levels,
+        )
+
+        if self.state == TrackingState.NOT_INITIALIZED:
+            self._stereo_initialization(frame, t, scan, scan_valid)
+        else:
+            self._track_frame(frame, t, scan, scan_valid)
+
+        self._record_pose(t)
+        return np.asarray(self.T_cw)
+
+    # ------------------------------------------------------------------
+    def _stereo_initialization(self, frame, t, scan, scan_valid):
+        """StereoInitialization (Tracking.cc:2430): first KF + stereo points."""
+        n_depth = int(jnp.sum(frame.valid & (frame.depth > 0)))
+        if n_depth < 100:
+            return
+        self.T_cw = jnp.eye(4)
+        kf_id = self._create_keyframe(frame, t, scan, scan_valid,
+                                      feat_lm=jnp.full((self.map.F,), mapstate.NO_LM, jnp.int32),
+                                      run_ba=False)
+        self.state = TrackingState.OK
+        self.ref_kf = kf_id
+        self.ref_kf_tracked = n_depth
+        self.velocity = jnp.eye(4)
+
+    # ------------------------------------------------------------------
+    def _track_frame(self, frame, t, scan, scan_valid):
+        T_pred = self.velocity @ self.T_cw
+        # pass 1: guided matching at the motion-model pose
+        # (TrackWithMotionModel)
+        res = tracking.track_frame(
+            self.map, frame, T_pred, self.cam, self.scale_factors, self.sigma2,
+            jnp.asarray(self.cfg.tracking.match_radius_narrow, jnp.float32),
+        )
+        n_inl = int(res.n_inliers)
+        # pass 2: window-free global descriptor match + pose opt
+        # (TrackReferenceKeyFrame's role). Run ALWAYS, not only on failure:
+        # velocity-model drift has no local failure signal (inlier counts
+        # stay plausible while the pose walks off), and the global pass is
+        # cheap as one batched Hamming matrix.
+        res_g = tracking.track_frame_global(
+            self.map, frame, res.T_cw if n_inl >= 10 else T_pred,
+            self.cam, self.sigma2,
+        )
+        if int(res_g.n_inliers) > n_inl:
+            res, n_inl = res_g, int(res_g.n_inliers)
+        # pass 3: guided re-match + re-optimize at the corrected pose
+        # (TrackLocalMap, Tracking.cc:2836)
+        if n_inl >= 10:
+            res2 = tracking.track_frame(
+                self.map, frame, res.T_cw, self.cam, self.scale_factors,
+                self.sigma2,
+                jnp.asarray(self.cfg.tracking.match_radius_narrow, jnp.float32),
+            )
+            if int(res2.n_inliers) >= n_inl:
+                res, n_inl = res2, int(res2.n_inliers)
+
+        if n_inl < 10:
+            self.state = TrackingState.RECENTLY_LOST
+            self.n_lost += 1
+            # dead-reckon on the motion model (PredictStateIMU-style fallback)
+            self.last_T_cw = self.T_cw
+            self.T_cw = T_pred
+            self.frames_since_kf += 1
+            return
+
+        self.state = TrackingState.OK
+        self.last_T_cw = self.T_cw
+        self.T_cw = res.T_cw
+        self.velocity = self.T_cw @ lie.se3_inverse(self.last_T_cw)
+        self.map = tracking.update_found_counters(self.map, res.feat_lm)
+
+        # LiDAR: insert this frame's scan into the voxel map at the tracked
+        # pose (UpdateMap -> map_incremental, Tracking.cc:1603)
+        if self.lidar_enabled and scan is not None:
+            self._lidar_frame_update(scan, scan_valid)
+
+        if self._need_new_keyframe(n_inl, frame):
+            self._create_keyframe(frame, t, scan, scan_valid, res.feat_lm,
+                                  run_ba=True)
+            self.frames_since_kf = 0
+        else:
+            self.frames_since_kf += 1
+
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, n_inliers: int, frame) -> bool:
+        """NeedNewKeyFrame (Tracking.cc:2942), simplified to its dominant
+        terms: reference-KF track ratio + frame interval bounds."""
+        t = self.cfg.tracking
+        if self.frames_since_kf < t.kf_min_interval:
+            return False
+        if self.frames_since_kf >= t.kf_max_interval:
+            return True
+        return n_inliers < t.kf_track_ratio * max(self.ref_kf_tracked, 1)
+
+    # ------------------------------------------------------------------
+    def _create_keyframe(self, frame, t, scan, scan_valid, feat_lm, run_ba):
+        self.map, kf_id = mapstate.add_keyframe(
+            self.map, self.T_cw, jnp.asarray(t, jnp.float32),
+            frame.xy, frame.uvr, frame.level, frame.angle, frame.desc,
+            frame.valid, feat_lm,
+        )
+        kf_id = int(kf_id)
+
+        # stereo landmarks from unmatched close features; suppress features
+        # that re-observe an existing landmark (duplicate control — the
+        # reference relies on SearchInNeighbors/Fuse for this)
+        pos, normal, dist, want = tracking.stereo_landmark_candidates(
+            frame, self.T_cw, self.cam, feat_lm,
+            jnp.asarray(self.cfg.camera.th_depth, jnp.float32),
+            self.scale_factors,
+        )
+        near = tracking.near_existing_landmark(
+            self.map, frame, self.T_cw, self.cam,
+            jnp.float32(4.0), jnp.float32(0.15),
+        )
+        want = want & ~near
+        if self.lidar_enabled and scan is not None and self.frame_idx > 0:
+            # tightly-coupled depth verification: a stereo landmark must lie
+            # on LiDAR structure — fit a local plane from the voxel map
+            # around the candidate and gate on point-to-plane distance
+            # (plane interpolation bridges the map's sparse sampling).
+            # Kills the fat tail of gross stereo mismatches that would
+            # otherwise poison the map; candidates with no LiDAR structure
+            # nearby are rejected (conservative).
+            from ..ops import plane_fit as pf
+            _, nbrs, nbv = voxel_map.knn(self.vmap, pos, k=5, radius=3)
+            nrm, dpl, p_ok = pf.fit_planes(nbrs, nbv, threshold=0.3)
+            pd = jnp.abs(pf.point_to_plane(pos, nrm, dpl))
+            cam_c = lie.translation(lie.se3_inverse(self.T_cw))
+            rng_ = jnp.linalg.norm(pos - cam_c, axis=-1)
+            tol = jnp.clip(0.06 * rng_, 0.3, 1.0)
+            want = want & p_ok & (pd < tol)
+        self.map, _ = mapstate.add_landmarks(
+            self.map, jnp.int32(kf_id), jnp.arange(self.map.F, dtype=jnp.int32),
+            pos, frame.desc, normal, dist, want,
+        )
+
+        # store LiDAR features for this KF (BuildLidarFeat4KeyFrame)
+        if self.lidar_enabled and scan is not None:
+            self._store_kf_lidar(kf_id, scan, scan_valid)
+
+        self.ref_kf = kf_id
+        # reference-KF track baseline = features now linked to landmarks
+        # (TrackedMapPoints semantics, not raw depth count)
+        self.ref_kf_tracked = int(jnp.sum(self.map.kf_feat_lm[kf_id] != mapstate.NO_LM))
+
+        if run_ba and int(self.map.n_kf) >= 3:
+            self.map = local_mapping.run_local_ba(
+                self.map, self.lidar_store, kf_id, self.cam, self.sigma2,
+                self.T_cl,
+                n_window=self.cfg.tracking.local_window,
+                balm_window=self.cfg.lidar.balm_window,
+                balm_voxel=self.cfg.lidar.balm_voxel,
+                balm_max_voxels=self.cfg.lidar.balm_max_voxels,
+                balm_min_points=self.cfg.lidar.balm_min_points,
+                w_lba=self.cfg.lidar.w_lba if self.lidar_enabled else 0.0,
+                iters=self.cfg.tracking.ba_iters,
+            )
+            # adopt the refined pose of this KF as the current pose
+            self.T_cw = self.map.kf_T_cw[kf_id]
+        return kf_id
+
+    # ------------------------------------------------------------------
+    def _lidar_frame_update(self, scan, scan_valid):
+        scan = jnp.asarray(scan)
+        keep = pointcloud.preprocess(
+            scan, jnp.zeros(scan.shape[0]), jnp.asarray(scan_valid),
+            blind=self.cfg.lidar.blind,
+        )
+        ds, dsv = pointcloud.voxel_downsample(scan, keep, self.cfg.lidar.map_voxel)
+        T_wl = lie.se3_inverse(self.T_cw) @ self.T_cl
+        p_w = lie.se3_apply(T_wl, ds)
+        self.vmap = voxel_map.insert(self.vmap, p_w, dsv)
+        pos_w = lie.translation(T_wl)
+        self.vmap, _ = lio.maybe_recenter(self.vmap, pos_w)
+
+    # ------------------------------------------------------------------
+    def _store_kf_lidar(self, kf_id, scan, scan_valid):
+        """Downsample + planar-select the KF's scan (feature_extraction)."""
+        scan = jnp.asarray(scan)
+        keep = pointcloud.preprocess(
+            scan, jnp.zeros(scan.shape[0]), jnp.asarray(scan_valid),
+            blind=self.cfg.lidar.blind,
+        )
+        ds, dsv = pointcloud.voxel_downsample(scan, keep, self.cfg.lidar.scan_voxel)
+        T_wl = lie.se3_inverse(self.T_cw) @ self.T_cl
+        planar = lio.select_plane_features(self.vmap, ds, dsv, T_wl, self.lio_cfg)
+        # compact the best kf_points planar points to the front
+        n = self.lidar_store.points.shape[1]
+        order = jnp.argsort(~planar)  # True first
+        pts = ds[order][:n]
+        val = planar[order][:n]
+        self.lidar_store = self.lidar_store.set_kf(kf_id, pts, val)
+
+    # ------------------------------------------------------------------
+    def _record_pose(self, t):
+        T_ref = self.map.kf_T_cw[max(self.ref_kf, 0)]
+        T_rel = np.asarray(self.T_cw @ lie.se3_inverse(T_ref))
+        self.traj.append((float(t), self.ref_kf, T_rel))
+
+    # ------------------------------------------------------------------
+    def trajectory_world_from_cam(self) -> np.ndarray:
+        """Recompose per-frame poses against (possibly BA-refined) KF poses
+        and return world-from-camera [N, 4, 4] (SaveTrajectoryKITTI logic)."""
+        kf_T = np.asarray(self.map.kf_T_cw)
+        out = []
+        for t, ref, T_rel in self.traj:
+            T_cw = T_rel @ kf_T[max(ref, 0)]
+            out.append(np.linalg.inv(T_cw))
+        return np.stack(out)
+
+    def save_trajectory_kitti(self, path: str):
+        trajectory.save_kitti(path, self.trajectory_world_from_cam())
+
+    def save_trajectory_tum(self, path: str):
+        times = [t for t, _, _ in self.traj]
+        trajectory.save_tum(path, times, self.trajectory_world_from_cam())
