@@ -111,10 +111,16 @@ def so3_log(R: jax.Array) -> jax.Array:
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    # theta via atan2(sin, cos): arccos has an infinite derivative at the
+    # identity (exactly where pose-graph/BA residuals live), which NaNs any
+    # autodiff through log; atan2 is smooth there.
+    w_skew = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
+    sin_theta = 0.5 * jnp.sqrt(
+        jnp.maximum(jnp.sum(w_skew * w_skew, axis=-1), 1e-24)
+    )
+    theta = jnp.arctan2(sin_theta, cos_theta)
 
     # Generic: w = theta / (2 sin(theta)) * vee(R - R^T)
-    w_skew = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
     generic = 0.5 / _sinc(theta)[..., None] * w_skew
 
     # Near pi: |sin| ~ 0 but axis recoverable from symmetric part.

@@ -47,73 +47,85 @@ SMALL = CameraRig(fx=320.0, fy=320.0, cx=320.0, cy=120.0,
                   baseline=0.5, width=640, height=240)
 
 
+class Plane(NamedTuple):
+    p0: np.ndarray      # [3] a point on the plane
+    n: np.ndarray       # [3] unit normal
+    ax_u: np.ndarray    # [3] in-plane axis (texture u)
+    ax_v: np.ndarray    # [3] in-plane axis (texture v)
+    lim_u: tuple        # (min, max) extent along ax_u
+    lim_v: tuple
+    seed: int
+
+
 class World(NamedTuple):
-    dots: np.ndarray       # [D, 3] texture dot positions (visual landmarks)
-    dot_pattern: np.ndarray  # [D, 3, 3] per-dot intensity patch (distinctive)
-    surf: np.ndarray       # [S, 3] dense surface points (LiDAR targets)
+    planes: list        # list[Plane] textured surfaces (render + LiDAR)
+    surf: np.ndarray    # [S, 3] LiDAR sample points on the surfaces
 
 
-def make_world(rng, extent=60.0, n_dots=2500, n_surf=24000) -> World:
-    """Ground plane + walls + boxes, with both texture dots and LiDAR surf."""
+def _hash01(ix, iy, seed):
+    """Integer lattice hash -> [0, 1) floats, vectorized (value-noise base)."""
+    h = (ix.astype(np.uint64) * np.uint64(374761393)
+         + iy.astype(np.uint64) * np.uint64(668265263)
+         + np.uint64(seed) * np.uint64(1442695040888963))
+    h = (h ^ (h >> np.uint64(13))) * np.uint64(1274126177)
+    h = h ^ (h >> np.uint64(16))
+    return (h & np.uint64(0xFFFFFF)).astype(np.float64) / float(0x1000000)
 
-    def on_planes(n):
-        """Street-like scene: a near-field corridor along the +x trajectory
-        (road strip + side walls, like KITTI streets) plus far structure.
-        Stereo only constrains depth within ~35 x baseline, so the corridor
-        keeps close features available everywhere on the path."""
-        pts = []
-        n_corr = n // 2
-        # road strip under/around the path
-        n_road = n_corr // 2
-        pts.append(np.stack([
-            rng.uniform(-10, extent + 30, n_road),
-            rng.uniform(-8, 8, n_road),
-            np.zeros(n_road),
-        ], -1))
-        # side walls of the corridor
-        per_w = (n_corr - n_road) // 2
-        for ywall in (-8.0, 8.0):
-            pts.append(np.stack([
-                rng.uniform(-10, extent + 30, per_w),
-                np.full(per_w, ywall),
-                rng.uniform(0.0, 5.0, per_w),
-            ], -1))
-        # far structure
-        n_far = n - n_corr
-        n_g = n_far // 2
-        pts.append(np.stack([
-            rng.uniform(-extent, extent, n_g),
-            rng.uniform(-extent, extent, n_g),
-            np.zeros(n_g),
-        ], -1))
-        walls = [
-            (extent, "x"), (-extent, "x"), (extent, "y"), (-extent, "y"),
-        ]
-        per = (n_far - n_g) // len(walls)
-        for cpos, ax in walls:
-            u = rng.uniform(-extent, extent, per)
-            z = rng.uniform(0.0, 6.0, per)
-            if ax == "x":
-                pts.append(np.stack([np.full(per, cpos), u, z], -1))
-            else:
-                pts.append(np.stack([u, np.full(per, cpos), z], -1))
-        return np.concatenate(pts).astype(np.float32)
 
-    dots = on_planes(n_dots)
-    # Distinctive per-dot 3x3 patterns: repetitive identical dots make ORB
-    # descriptors ambiguous (stereo/track mismatches); random patches give
-    # each corner a recognizable neighborhood like real texture.
-    pattern = rng.uniform(40, 255, (len(dots), 3, 3)).astype(np.float32)
-    return World(
-        dots=dots,
-        dot_pattern=pattern,
-        surf=on_planes(n_surf),
-    )
+def _value_noise(u, v, scale, seed):
+    """Bilinear value noise at lattice pitch ``scale`` meters."""
+    x = u / scale
+    y = v / scale
+    x0 = np.floor(x); y0 = np.floor(y)
+    fx = x - x0; fy = y - y0
+    fx = fx * fx * (3 - 2 * fx)   # smoothstep for C1 continuity
+    fy = fy * fy * (3 - 2 * fy)
+    n00 = _hash01(x0, y0, seed)
+    n10 = _hash01(x0 + 1, y0, seed)
+    n01 = _hash01(x0, y0 + 1, seed)
+    n11 = _hash01(x0 + 1, y0 + 1, seed)
+    return (n00 * (1 - fx) * (1 - fy) + n10 * fx * (1 - fy)
+            + n01 * (1 - fx) * fy + n11 * fx * fy)
+
+
+def _texture(u, v, seed):
+    """Multi-octave surface texture in [0, 255] — view-consistent because it
+    is a pure function of the surface point (this is what makes ORB
+    descriptors repeatable across frames, unlike splatted sprites)."""
+    t = (0.45 * _value_noise(u, v, 0.9, seed)
+         + 0.35 * _value_noise(u, v, 0.35, seed + 1)
+         + 0.20 * _value_noise(u, v, 0.13, seed + 2))
+    return 25.0 + 215.0 * t
+
+
+def make_world(rng, extent=60.0, n_dots=None, n_surf=24000) -> World:
+    """Street-like scene: road strip + corridor walls + far walls, all as
+    textured planes (rendered by ray casting; LiDAR samples the same
+    surfaces so camera and LiDAR observe identical geometry)."""
+    ex = np.array([1.0, 0, 0]); ey = np.array([0, 1.0, 0]); ez = np.array([0, 0, 1.0])
+    planes = [
+        # ground
+        Plane(np.zeros(3), ez, ex, ey, (-extent, extent + 40), (-extent, extent), 7),
+        # corridor walls
+        Plane(np.array([0, -8.0, 0]), ey, ex, ez, (-12, extent + 40), (0, 5.0), 11),
+        Plane(np.array([0, 8.0, 0]), -ey, ex, ez, (-12, extent + 40), (0, 5.0), 13),
+        # far cross walls
+        Plane(np.array([extent + 40, 0, 0]), -ex, ey, ez, (-extent, extent), (0, 8.0), 17),
+        Plane(np.array([-12.0, 0, 0]), ex, ey, ez, (-extent, extent), (0, 8.0), 19),
+    ]
+    # LiDAR surf samples on the planes
+    pts = []
+    per = n_surf // len(planes)
+    for p in planes:
+        uu = rng.uniform(p.lim_u[0], p.lim_u[1], per)
+        vv = rng.uniform(p.lim_v[0], p.lim_v[1], per)
+        pts.append(p.p0 + uu[:, None] * p.ax_u + vv[:, None] * p.ax_v)
+    return World(planes=planes, surf=np.concatenate(pts).astype(np.float32))
 
 
 class Trajectory:
-    """R(t) = Exp(w t); p(t) = p0 + R-independent polyline — constant world
-    velocity with optional turn, exact IMU."""
+    """R(t) = Exp(w t); p(t) = p0 + v t — constant world velocity with
+    optional turn rate, exact IMU."""
 
     def __init__(self, w_body=(0.0, 0.0, 0.04), v_world=(2.0, 0.2, 0.0), z0=1.6):
         self.w = np.asarray(w_body, np.float64)
@@ -144,41 +156,38 @@ def body_from_cam() -> np.ndarray:
 
 
 def render_stereo(world: World, cam: CameraRig, T_wb: np.ndarray, rng=None):
-    """Render L/R grayscale images by splatting texture dots (3x3 patches).
+    """Ray-cast the textured planes into a rectified stereo pair.
 
-    Cheap but produces FAST-detectable corners with exact stereo geometry.
+    Exact pinhole geometry per pixel; the texture is attached to the
+    surfaces, so feature descriptors repeat across viewpoints (required for
+    BoW/relocalization) and stereo disparity is subpixel-exact.
     """
     T_wc = T_wb @ body_from_cam()
     R = T_wc[:3, :3]
-    t = T_wc[:3, 3]
-    pc = (world.dots - t) @ R  # world -> camera (row convention R^T x)
+    H, W = cam.height, cam.width
+    uu, vv = np.meshgrid(np.arange(W, dtype=np.float64),
+                         np.arange(H, dtype=np.float64))
+    dirs_c = np.stack([(uu - cam.cx) / cam.fx, (vv - cam.cy) / cam.fy,
+                       np.ones_like(uu)], axis=-1)          # [H, W, 3]
+    dirs_w = dirs_c @ R.T                                    # [H, W, 3]
     imgs = []
     for side in range(2):
-        x = pc[:, 0] - (side * cam.baseline)
-        y, z = pc[:, 1], pc[:, 2]
-        vis = z > 0.5
-        u = cam.fx * x / np.where(vis, z, 1.0) + cam.cx
-        v = cam.fy * y / np.where(vis, z, 1.0) + cam.cy
-        vis &= (u >= 3) & (u < cam.width - 3) & (v >= 3) & (v < cam.height - 3)
-        img = np.full((cam.height, cam.width), 30.0, np.float32)
-        uu, vv = u[vis], v[vis]
-        u0 = np.floor(uu).astype(int)
-        v0 = np.floor(vv).astype(int)
-        fu = uu - u0
-        fv = vv - v0
-        pat = world.dot_pattern[vis]
-        # Bilinear (tent) splat of each dot's 3x3 pattern: the subpixel
-        # projection is encoded in the intensity distribution, so stereo
-        # disparity and feature positions stay subpixel-consistent between
-        # views (integer splatting quantizes depth by meters at range), and
-        # the per-dot pattern keeps descriptors distinctive.
-        for a in range(3):
-            for b in range(3):
-                inten = pat[:, b, a]
-                for du in (0, 1):
-                    for dv in (0, 1):
-                        w = np.where(du, fu, 1 - fu) * np.where(dv, fv, 1 - fv)
-                        np.add.at(img, (v0 + dv + b - 1, u0 + du + a - 1), inten * w)
+        o = T_wc[:3, 3] + R @ np.array([side * cam.baseline, 0.0, 0.0])
+        best_t = np.full((H, W), np.inf)
+        img = np.full((H, W), 18.0)
+        for p in world.planes:
+            denom = dirs_w @ p.n
+            denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+            t = ((p.p0 - o) @ p.n) / denom
+            hit = o + t[..., None] * dirs_w
+            pu = (hit - p.p0) @ p.ax_u
+            pv = (hit - p.p0) @ p.ax_v
+            ok = ((t > 0.3) & (t < best_t)
+                  & (pu >= p.lim_u[0]) & (pu <= p.lim_u[1])
+                  & (pv >= p.lim_v[0]) & (pv <= p.lim_v[1]))
+            tex = _texture(pu, pv, p.seed)
+            img = np.where(ok, tex, img)
+            best_t = np.where(ok, t, best_t)
         imgs.append(np.clip(img, 0, 255).astype(np.uint8))
     return imgs[0], imgs[1]
 

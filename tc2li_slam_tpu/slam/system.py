@@ -28,8 +28,9 @@ import jax
 import jax.numpy as jnp
 
 from ..geom import camera as cam_mod, lie
-from ..ops import pointcloud, voxel_map
-from . import config as cfg_mod, lio, local_mapping, mapstate, tracking, trajectory
+from ..ops import bow, pointcloud, voxel_map
+from . import (config as cfg_mod, lio, local_mapping, loop_closing,
+               mapstate, relocalization, tracking, trajectory)
 
 
 class TrackingState:
@@ -42,8 +43,9 @@ class TrackingState:
 class System:
     """Stereo(+LiDAR) SLAM system (System::TrackStereoLidar equivalent)."""
 
-    def __init__(self, cfg: cfg_mod.SystemConfig):
+    def __init__(self, cfg: cfg_mod.SystemConfig, voc: "bow.Vocabulary | None" = None):
         self.cfg = cfg
+        self.voc = voc  # place-recognition vocabulary (reloc + loop closing)
         c = cfg.camera
         self.cam = cam_mod.Pinhole.create(c.fx, c.fy, c.cx, c.cy, bf=c.bf)
         self.scale_factors = jnp.asarray(cfg.orb.scale_factors(), jnp.float32)
@@ -81,6 +83,11 @@ class System:
         # trajectory: (timestamp, ref_kf, T_cur_wrt_ref) — relative storage
         self.traj: list[tuple[float, int, np.ndarray]] = []
         self.n_lost = 0
+        if voc is not None:
+            self.kf_words = jnp.full(
+                (cfg.tracking.max_kf, cfg.orb.n_features), -1, jnp.int32
+            )
+        self._rng_key = jax.random.PRNGKey(0)
 
     # ------------------------------------------------------------------
     def track(self, img_l, img_r, t, scan=None, scan_valid=None) -> np.ndarray:
@@ -130,9 +137,9 @@ class System:
         # velocity-model drift has no local failure signal (inlier counts
         # stay plausible while the pose walks off), and the global pass is
         # cheap as one batched Hamming matrix.
+        self._rng_key, sub = jax.random.split(self._rng_key)
         res_g = tracking.track_frame_global(
-            self.map, frame, res.T_cw if n_inl >= 10 else T_pred,
-            self.cam, self.sigma2,
+            self.map, frame, sub, self.cam, self.sigma2,
         )
         if int(res_g.n_inliers) > n_inl:
             res, n_inl = res_g, int(res_g.n_inliers)
@@ -146,6 +153,20 @@ class System:
             )
             if int(res2.n_inliers) >= n_inl:
                 res, n_inl = res2, int(res2.n_inliers)
+
+        if n_inl < 10 and self.voc is not None:
+            # relocalization (Tracking.cc:3478): BoW candidates + PnP RANSAC
+            self._rng_key, sub = jax.random.split(self._rng_key)
+            rr = relocalization.relocalize(
+                self.map, frame, self.cam, self.voc, self.kf_words,
+                self.sigma2, sub,
+            )
+            if rr.ok:
+                res = tracking.TrackResult(
+                    rr.T_cw, rr.feat_lm, jnp.int32(rr.n_inliers), jnp.int32(rr.n_inliers)
+                )
+                n_inl = rr.n_inliers
+                self.velocity = jnp.eye(4)  # motion model invalid after reloc
 
         if n_inl < 10:
             self.state = TrackingState.RECENTLY_LOST
@@ -232,10 +253,19 @@ class System:
         if self.lidar_enabled and scan is not None:
             self._store_kf_lidar(kf_id, scan, scan_valid)
 
+        if self.voc is not None:
+            words, _ = bow.quantize(self.voc, frame.desc, frame.valid,
+                                    self.voc.depth)
+            self.kf_words = self.kf_words.at[kf_id].set(jnp.sort(words))
+
         self.ref_kf = kf_id
         # reference-KF track baseline = features now linked to landmarks
         # (TrackedMapPoints semantics, not raw depth count)
         self.ref_kf_tracked = int(jnp.sum(self.map.kf_feat_lm[kf_id] != mapstate.NO_LM))
+
+        # loop closing (per KF, when place recognition is available)
+        if self.voc is not None and run_ba and kf_id > 25:
+            self._try_close_loop(kf_id)
 
         if run_ba and int(self.map.n_kf) >= 3:
             self.map = local_mapping.run_local_ba(
@@ -252,6 +282,25 @@ class System:
             # adopt the refined pose of this KF as the current pose
             self.T_cw = self.map.kf_T_cw[kf_id]
         return kf_id
+
+    # ------------------------------------------------------------------
+    def _try_close_loop(self, kf_id: int):
+        """Loop detection + Sim3 verification + pose-graph correction
+        (the LoopClosing thread's job, run synchronously per keyframe)."""
+        cands = loop_closing.detect_candidates(
+            self.map, kf_id, self.kf_words, min_gap=20, n_best=3
+        )
+        for cand in cands:
+            self._rng_key, sub = jax.random.split(self._rng_key)
+            ok, S, n_inl, _ = loop_closing.verify_candidate(
+                self.map, kf_id, cand, sub, with_scale=False,
+            )
+            if ok:
+                self.map = loop_closing.close_loop(self.map, kf_id, cand, S)
+                # current pose follows the corrected keyframe
+                self.T_cw = self.map.kf_T_cw[kf_id]
+                self.velocity = jnp.eye(4)
+                break
 
     # ------------------------------------------------------------------
     def _lidar_frame_update(self, scan, scan_valid):

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..geom import camera as cam_mod, lie
 from ..ops import matching, orb, stereo
 from . import mapstate
-from ..solver import lm as lm_mod
+from ..solver import lm as lm_mod, pnp as pnp_mod
 
 
 class Frame(NamedTuple):
@@ -147,7 +147,7 @@ def track_frame(
 def track_frame_global(
     m: mapstate.MapState,
     frame: Frame,
-    T_cw_init: jax.Array,
+    key: jax.Array,
     cam: cam_mod.Pinhole,
     sigma2: jax.Array,
 ) -> TrackResult:
@@ -155,9 +155,11 @@ def track_frame_global(
 
     The reference re-acquires after motion-model failure by BoW-accelerated
     global descriptor matching against the reference KF (Tracking.cc:2603);
-    with batched Hamming the whole landmark pool is matched directly —
-    no search window, so arbitrary prediction error is recoverable. Mutual +
-    ratio tests replace the BoW node alignment as the ambiguity filter.
+    with batched Hamming the whole landmark pool is matched directly — no
+    search window. The pose comes from batched PnP RANSAC, so the result is
+    INITIALIZATION-FREE: this pass recovers from arbitrary prediction error
+    (a pose-only LM from a bad init would inherit the drift it is supposed
+    to fix).
     """
     kp_idx, dist_h, matched = matching.match_descriptors(
         m.lm_desc, frame.desc, m.lm_valid, frame.valid,
@@ -174,11 +176,9 @@ def track_frame_global(
     has_lm = feat_lm != mapstate.NO_LM
     lm_c = jnp.clip(feat_lm, 0, m.L - 1)
     X_obs = m.lm_pos[lm_c]
-    inv_s2 = 1.0 / sigma2[jnp.clip(frame.level, 0, sigma2.shape[0] - 1)]
-    stereo_obs = frame.uvr[:, 2] > 0
-    res = lm_mod.pose_only_optimize(
-        cam, T_cw_init, X_obs, frame.uvr, inv_s2, stereo_obs,
-        has_lm & frame.valid,
+    res = pnp_mod.pnp_ransac(
+        cam, X_obs, frame.xy, has_lm & frame.valid, key,
+        n_hyp=64, min_inliers=12,
     )
     feat_lm = jnp.where(res.inliers, feat_lm, mapstate.NO_LM)
     return TrackResult(res.T_cw, feat_lm, res.n_inliers, jnp.sum(matched))
