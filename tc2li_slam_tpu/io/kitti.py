@@ -81,19 +81,11 @@ def load_scan(seq_dir: str, idx: int, n_max: int = 131072,
     Per-point relative time is reconstructed from the azimuth sweep (KITTI
     does not store per-point times; the HDL-64E sweeps 360 deg in 0.1 s —
     mirrors the reference's ``curvature``-encoded times, preprocess.cpp).
+    Decoding goes through the native library when built (io.native).
     """
+    from . import native
     path = os.path.join(seq_dir, "velodyne", f"{idx:06d}.bin")
-    pts = np.fromfile(path, dtype=np.float32).reshape(-1, 4)[:, :3]
-    az = np.arctan2(pts[:, 1], pts[:, 0])  # [-pi, pi], sweep is clockwise
-    t_rel = (np.pi - az) / (2 * np.pi) * 0.1
-    n = min(len(pts), n_max)
-    out = np.zeros((n_max, 3), np.float32)
-    times = np.zeros(n_max, np.float32)
-    valid = np.zeros(n_max, bool)
-    sel = np.random.default_rng(0).choice(len(pts), n, replace=False) if len(pts) > n_max else slice(0, n)
-    out[:n] = pts[sel][:n] if len(pts) > n_max else pts[:n]
-    times[:n] = t_rel[sel][:n] if len(pts) > n_max else t_rel[:n]
-    valid[:n] = True
+    out, times, valid, _ = native.read_velodyne(path, n_max)
     return out, times, valid
 
 

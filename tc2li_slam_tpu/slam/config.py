@@ -98,3 +98,10 @@ class SystemConfig:
     lidar: LidarConfig = field(default_factory=LidarConfig)
     tracking: TrackingConfig = field(default_factory=TrackingConfig)
     use_imu: bool = False          # IMU_STEREO_LIDAR vs STEREO_LIDAR
+    # Run the temporal-window inertial BA (LocalLVIBA) instead of the
+    # covisibility visual BA in IMU mode. Currently experimental: the
+    # ESEKF-estimated biases leak scan-matching error into the
+    # preintegration linearization and can degrade the (already strong)
+    # LIO-predicted visual solution — revisit with a proper joint
+    # visual-inertial initialization.
+    inertial_ba: bool = False

@@ -27,10 +27,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..estimation import esekf, imu as imu_est
 from ..geom import camera as cam_mod, lie
 from ..ops import bow, pointcloud, voxel_map
-from . import (config as cfg_mod, lio, local_mapping, loop_closing,
+from . import (config as cfg_mod, imu_mode, lio, local_mapping, loop_closing,
                mapstate, relocalization, tracking, trajectory)
+from ..solver import inertial_ba
 
 
 class TrackingState:
@@ -89,10 +91,40 @@ class System:
             )
         self._rng_key = jax.random.PRNGKey(0)
 
+        # --- IMU_STEREO_LIDAR mode state (LidarInertialProcess + inertial BA)
+        self.use_imu = cfg.use_imu
+        if self.use_imu:
+            self.filt = esekf.init_filter()
+            self.imu_noise = esekf.NoiseCfg.create(
+                gyr=cfg.imu.noise_gyro * 100.0, acc=cfg.imu.noise_acc * 100.0,
+                bg_rw=cfg.imu.gyro_walk, ba_rw=cfg.imu.acc_walk,
+            )
+            self.imu_cal = imu_est.ImuCalib.create(
+                cfg.imu.noise_gyro, cfg.imu.noise_acc,
+                cfg.imu.gyro_walk, cfg.imu.acc_walk,
+            )
+            self.T_bc = jnp.asarray(cfg.imu.T_bc, jnp.float32)
+            self.T_cb = lie.se3_inverse(self.T_bc)
+            self.imu_store = imu_mode.ImuKfStore.create(cfg.tracking.max_kf)
+            self.gravity_vis = jnp.asarray([0.0, 9.81, 0.0])  # set at init
+            self._imu_buf: list = []      # (gyro, acc, dts) since last KF
+            self._imu_initialized = False
+            self._last_filt_Twc = None    # LIO camera pose at previous frame
+
     # ------------------------------------------------------------------
-    def track(self, img_l, img_r, t, scan=None, scan_valid=None) -> np.ndarray:
-        """Process one stereo(+LiDAR) frame; returns T_cw [4, 4] (numpy)."""
+    def track(self, img_l, img_r, t, scan=None, scan_valid=None,
+              gyro=None, acc=None, imu_dts=None, imu_trel=None,
+              scan_times=None) -> np.ndarray:
+        """Process one stereo(+LiDAR[+IMU]) frame; returns T_cw [4, 4].
+
+        In IMU mode the full FAST-LIO2 scan step (ESEKF predict + iterated
+        point-to-plane update + map insert) runs first and provides the
+        motion prediction for visual tracking, replacing the constant
+        velocity model (PredictStateIMU's role)."""
         self.frame_idx += 1
+        if self.use_imu and gyro is not None and scan is not None:
+            self._lio_step(scan, scan_times, scan_valid, gyro, acc,
+                           imu_dts, imu_trel)
         frame = tracking.build_frame(
             jnp.asarray(img_l), jnp.asarray(img_r), self.cam,
             self.scale_factors,
@@ -121,6 +153,42 @@ class System:
         self.ref_kf = kf_id
         self.ref_kf_tracked = n_depth
         self.velocity = jnp.eye(4)
+
+    # ------------------------------------------------------------------
+    def _lio_step(self, scan, scan_times, scan_valid, gyro, acc, dts, trel):
+        """Run the LiDAR-inertial odometry scan step and refresh the motion
+        prediction from the filter's relative motion."""
+        if not self._imu_initialized:
+            n_samples = int(np.sum(np.asarray(dts) > 0))
+            if n_samples < 3:
+                return  # wait for a window with real IMU data (frame 0 is empty)
+            # static init: gravity + gyro bias from the first window
+            self.filt = esekf.static_init(
+                self.filt, jnp.asarray(gyro), jnp.asarray(acc),
+                jnp.asarray(dts) > 0,
+            )
+            # gravity in the visual world (cam0 axes): vis world = body0
+            # axes rotated by the camera-body extrinsic
+            g_lio = self.filt.x.grav
+            self.gravity_vis = lie.rotation(self.T_cb) @ g_lio
+            self._imu_initialized = True
+        st = scan_times if scan_times is not None else np.zeros(len(scan), np.float32)
+        res = lio.lio_scan_step(
+            self.filt, self.vmap, jnp.asarray(scan), jnp.asarray(st),
+            jnp.asarray(scan_valid), jnp.asarray(gyro), jnp.asarray(acc),
+            jnp.asarray(dts), jnp.asarray(trel),
+            self.imu_noise, self.lio_cfg,
+        )
+        self.filt, self.vmap = res.filt, res.map
+        self.vmap, _ = lio.maybe_recenter(self.vmap, self.filt.x.pos)
+        self._imu_buf.append((np.asarray(gyro), np.asarray(acc), np.asarray(dts)))
+        # prediction: relative LIO camera motion composed onto the visual pose
+        T_wb = lie.se3(self.filt.x.R, self.filt.x.pos)
+        T_wc_lio = T_wb @ self.T_bc
+        if self._last_filt_Twc is not None:
+            rel = lie.se3_inverse(T_wc_lio) @ self._last_filt_Twc
+            self.velocity = rel  # T_ck<-c(k-1): prediction = rel @ T_cw_prev
+        self._last_filt_Twc = T_wc_lio
 
     # ------------------------------------------------------------------
     def _track_frame(self, frame, t, scan, scan_valid):
@@ -184,8 +252,9 @@ class System:
         self.map = tracking.update_found_counters(self.map, res.feat_lm)
 
         # LiDAR: insert this frame's scan into the voxel map at the tracked
-        # pose (UpdateMap -> map_incremental, Tracking.cc:1603)
-        if self.lidar_enabled and scan is not None:
+        # pose (UpdateMap -> map_incremental, Tracking.cc:1603). In IMU mode
+        # the ESEKF scan step already inserted it (map_incremental there).
+        if self.lidar_enabled and scan is not None and not self.use_imu:
             self._lidar_frame_update(scan, scan_valid)
 
         if self._need_new_keyframe(n_inl, frame):
@@ -258,6 +327,21 @@ class System:
                                     self.voc.depth)
             self.kf_words = self.kf_words.at[kf_id].set(jnp.sort(words))
 
+        if self.use_imu:
+            pre = None
+            if self._imu_buf and kf_id > 0:
+                g = np.concatenate([b[0] for b in self._imu_buf])
+                a = np.concatenate([b[1] for b in self._imu_buf])
+                d = np.concatenate([b[2] for b in self._imu_buf])
+                pre = imu_est.integrate(
+                    self.imu_cal, jnp.asarray(g), jnp.asarray(a),
+                    jnp.asarray(d), self.filt.x.bg, self.filt.x.ba,
+                )
+            self._imu_buf = []
+            # velocity snapshot in visual-world axes
+            v_vis = lie.rotation(self.T_cb) @ self.filt.x.vel
+            self.imu_store = self.imu_store.set_kf(kf_id, pre, v_vis)
+
         self.ref_kf = kf_id
         # reference-KF track baseline = features now linked to landmarks
         # (TrackedMapPoints semantics, not raw depth count)
@@ -267,7 +351,10 @@ class System:
         if self.voc is not None and run_ba and kf_id > 25:
             self._try_close_loop(kf_id)
 
-        if run_ba and int(self.map.n_kf) >= 3:
+        if (run_ba and self.use_imu and self.cfg.inertial_ba
+                and int(self.map.n_kf) >= 3):
+            self._run_lvi_ba(kf_id)
+        elif run_ba and int(self.map.n_kf) >= 3:
             self.map = local_mapping.run_local_ba(
                 self.map, self.lidar_store, kf_id, self.cam, self.sigma2,
                 self.T_cl,
@@ -282,6 +369,55 @@ class System:
             # adopt the refined pose of this KF as the current pose
             self.T_cw = self.map.kf_T_cw[kf_id]
         return kf_id
+
+    # ------------------------------------------------------------------
+    def _run_lvi_ba(self, kf_id: int):
+        """Temporal-window visual-inertial(-LiDAR) BA (LocalLVIBA dispatch,
+        LocalMapping.cc:158-173) with write-back of poses/velocities/biases."""
+        n_kf = int(self.map.n_kf)
+        P = min(self.cfg.tracking.local_window, n_kf)
+        window = list(range(kf_id - P + 1, kf_id + 1))
+        window_arr = jnp.asarray(window, jnp.int32)
+        fac = imu_mode.window_factors(self.imu_store, window)
+        win_pos, uvr, inv_s2, stereo, ok = mapstate.landmark_major_obs(
+            self.map, window_arr, self.sigma2
+        )
+        from ..solver.lm import BAObservations
+        obs = BAObservations(pose_idx=win_pos, uv=uvr, inv_sigma2=inv_s2,
+                             stereo=stereo, valid=ok)
+        lm_active = jnp.any(ok, axis=1) & self.map.lm_valid
+        T_cw_win = self.map.kf_T_cw[window_arr]
+        T_wb_win = jax.vmap(lambda T: lie.se3_inverse(T) @ lie.se3_inverse(self.T_bc))(T_cw_win)
+        # velocity init from visual pose differences (the reference seeds its
+        # inertial optimization the same way, LocalMapping::InitializeIMU:
+        # the ESEKF's early velocity estimates are unreliable before
+        # convergence, a finite difference of keyframe positions is not)
+        pos_w = T_wb_win[:, :3, 3]
+        dts = jnp.maximum(self.imu_store.dt[window_arr][1:], 1e-2)
+        v_mid = (pos_w[1:] - pos_w[:-1]) / dts[:, None]
+        vel0 = jnp.concatenate([v_mid[:1], v_mid], axis=0)
+        state0 = inertial_ba.InertialState(
+            T_wb=T_wb_win,
+            vel=vel0,
+            bg=jnp.tile(self.filt.x.bg, (P, 1)),
+            ba=jnp.tile(self.filt.x.ba, (P, 1)),
+        )
+        fixed = jnp.zeros(P, bool).at[0].set(True)
+        res = inertial_ba.lvi_ba(
+            self.cam, self.T_cb, state0, self.map.lm_pos, obs, fac,
+            fixed, lm_active, self.gravity_vis,
+            iters=self.cfg.tracking.ba_iters,
+        )
+        # write back: T_cw = inv(T_wb @ T_bc); velocities
+        T_cw_new = jax.vmap(lambda T: lie.se3_inverse(T @ self.T_bc))(res.state.T_wb)
+        self.map = self.map._replace(
+            kf_T_cw=self.map.kf_T_cw.at[window_arr].set(T_cw_new),
+            lm_pos=jnp.where(lm_active[:, None], res.X_w, self.map.lm_pos),
+        )
+        self.imu_store = self.imu_store._replace(
+            vel=self.imu_store.vel.at[window_arr].set(res.state.vel)
+        )
+        self.T_cw = self.map.kf_T_cw[kf_id]
 
     # ------------------------------------------------------------------
     def _try_close_loop(self, kf_id: int):

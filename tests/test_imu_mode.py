@@ -1,0 +1,64 @@
+"""IMU_STEREO_LIDAR end-to-end: ESEKF LIO prediction + LVI-BA in the System."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tc2li_slam_tpu.io import synthetic as syn
+from tc2li_slam_tpu.slam import config as cfg_mod, system as sys_mod
+from tests.test_e2e import small_cfg
+
+
+def imu_cfg():
+    cfg = small_cfg(True)
+    return dataclasses.replace(
+        cfg, use_imu=True,
+        imu=cfg_mod.ImuConfig(
+            noise_gyro=1e-4, noise_acc=1e-3, gyro_walk=1e-6, acc_walk=1e-5,
+            T_bc=syn.body_from_cam(),
+        ),
+    )
+
+
+@pytest.mark.slow
+def test_e2e_imu_stereo_lidar():
+    frames, world, traj = syn.generate_sequence(
+        n_frames=18, cam=syn.SMALL, seed=3, n_scan=2048,
+    )
+    slam = sys_mod.System(imu_cfg())
+    T_bc = syn.body_from_cam()
+    for fr in frames:
+        slam.track(
+            fr.img_l, fr.img_r, fr.t, fr.scan, fr.scan_valid,
+            gyro=fr.gyro, acc=fr.acc, imu_dts=fr.imu_dts, imu_trel=fr.imu_trel,
+            scan_times=fr.scan_times,
+        )
+    assert slam.state == sys_mod.TrackingState.OK
+    est = slam.trajectory_world_from_cam()
+    gt = np.stack([fr.T_wb_gt @ T_bc for fr in frames])
+    ate = syn.ate_rmse(est, gt)
+    assert ate < 0.10, f"IMU-mode ATE {ate:.3f} m"
+    # the ESEKF must have converged on gravity (static init + updates)
+    g = np.asarray(slam.filt.x.grav)
+    assert abs(np.linalg.norm(g) - 9.81) < 0.2
+    # IMU factors stored for consecutive KFs
+    assert int(slam.imu_store.has_factor.sum()) >= int(slam.map.n_kf) - 1
+
+
+@pytest.mark.slow
+def test_e2e_imu_with_inertial_ba_stays_tracked():
+    """The experimental LVI-BA path must at least keep tracking alive."""
+    cfg = dataclasses.replace(imu_cfg(), inertial_ba=True)
+    frames, world, traj = syn.generate_sequence(
+        n_frames=14, cam=syn.SMALL, seed=3, n_scan=2048,
+    )
+    slam = sys_mod.System(cfg)
+    for fr in frames:
+        slam.track(
+            fr.img_l, fr.img_r, fr.t, fr.scan, fr.scan_valid,
+            gyro=fr.gyro, acc=fr.acc, imu_dts=fr.imu_dts, imu_trel=fr.imu_trel,
+            scan_times=fr.scan_times,
+        )
+    assert slam.state == sys_mod.TrackingState.OK
