@@ -22,3 +22,32 @@ io           KITTI-format dataset loading, synthetic world generation.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (opt-out via TC2LI_NO_JIT_CACHE).
+
+    The system compiles ~20 large kernels (frame build, tracking, BA, LIO);
+    on a real TPU backend that is minutes of XLA time. Caching them on disk
+    makes every process after the first start in seconds. Honors an existing
+    user-set cache dir.
+    """
+    import os
+
+    if os.environ.get("TC2LI_NO_JIT_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = os.environ.get(
+                "TC2LI_JIT_CACHE_DIR",
+                os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+            )
+            jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()

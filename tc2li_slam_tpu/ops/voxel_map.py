@@ -160,37 +160,59 @@ def _neighbor_offsets(radius: int) -> jnp.ndarray:
     return jnp.stack([ox.ravel(), oy.ravel(), oz.ravel()], axis=-1).astype(jnp.int32)
 
 
+def _column_offsets(radius: int) -> jnp.ndarray:
+    r = jnp.arange(-radius, radius + 1)
+    ox, oy = jnp.meshgrid(r, r, indexing="ij")
+    return jnp.stack([ox.ravel(), oy.ravel()], axis=-1).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("k", "radius", "per_voxel"))
 def knn(
     m: VoxelMap,
     queries: jax.Array,  # [Q, 3]
     k: int = 5,
     radius: int = 1,
-    per_voxel: int = 1,
+    per_voxel: int = 1,  # kept for API compat; the map stores 1 pt/voxel
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """k nearest stored points for each query (replaces ``Nearest_Search``).
 
-    Candidates come from the ``(2*radius+1)^3`` voxel neighborhood; with the
-    map downsampled to one point per voxel, ``per_voxel=1`` and ``radius=1``
-    yields up to 27 candidates — ample for the 5-NN plane fit. Returns
+    Candidates come from the ``(2*radius+1)^3`` voxel neighborhood. The key
+    packing makes a fixed-(x, y) column of voxels CONTIGUOUS in key space, so
+    only one binary search per column of the neighborhood is needed
+    ((2r+1)^2 instead of (2r+1)^3 searchsorteds — the binary searches over
+    the big key pool, not the candidate fetches, dominate on TPU): the run of
+    slots [pos(key_lo), pos(key_lo)+2r+1) covers every stored point of the
+    column, validated by key <= key_hi. Returns
     (dists [Q, k], points [Q, k, 3], valid [Q, k]) with dists sorted asc.
     """
-    offsets = _neighbor_offsets(radius)  # [C, 3]
+    del per_voxel
+    Q = queries.shape[0]
+    W = 2 * radius + 1
+    cols = _column_offsets(radius)  # [C2, 2]
     qidx = voxel_indices(m, queries)  # [Q, 3]
-    nidx = qidx[:, None, :] + offsets[None, :, :]  # [Q, C, 3]
-    nkeys = pack_key(nidx)  # [Q, C]
-    pos = jnp.searchsorted(m.keys, nkeys).astype(jnp.int32)  # [Q, C]
+    col_idx = qidx[:, None, :2] + cols[None, :, :]  # [Q, C2, 2]
+    z_lo = jnp.clip(qidx[:, 2] - radius, 0, GRID_SIZE - 1)
+    z_hi = jnp.clip(qidx[:, 2] + radius, 0, GRID_SIZE - 1)
+    lo3 = jnp.concatenate(
+        [col_idx, jnp.broadcast_to(z_lo[:, None, None], (Q, cols.shape[0], 1))],
+        axis=-1,
+    )
+    key_lo = pack_key(lo3)                       # [Q, C2]
+    key_hi = key_lo + (z_hi - z_lo)[:, None]     # same column, top of z range
+    pos0 = jnp.searchsorted(m.keys, key_lo).astype(jnp.int32)  # [Q, C2]
 
-    if per_voxel == 1:
-        cand_pos = pos  # [Q, C]
-    else:
-        cand_pos = pos[..., None] + jnp.arange(per_voxel, dtype=jnp.int32)  # [Q, C, P]
-        cand_pos = cand_pos.reshape(queries.shape[0], -1)
-        nkeys = jnp.repeat(nkeys, per_voxel, axis=-1)
-    cand_pos = jnp.clip(cand_pos, 0, m.capacity - 1)
+    run = jnp.arange(W, dtype=jnp.int32)
+    cand_pos = jnp.clip(
+        pos0[..., None] + run, 0, m.capacity - 1
+    ).reshape(Q, -1)                              # [Q, C2*W]
     cand_keys = m.keys[cand_pos]
-    cand_valid = (cand_keys == nkeys) & (nkeys != EMPTY_KEY)
-    cand_pts = m.points[cand_pos]  # [Q, C*, 3]
+    lo_b = jnp.repeat(key_lo, W, axis=-1)
+    hi_b = jnp.repeat(key_hi, W, axis=-1)
+    cand_valid = (
+        (cand_keys >= lo_b) & (cand_keys <= hi_b)
+        & (cand_keys != EMPTY_KEY) & (lo_b != EMPTY_KEY)
+    )
+    cand_pts = m.points[cand_pos]  # [Q, C2*W, 3]
 
     d2 = jnp.sum((cand_pts - queries[:, None, :]) ** 2, axis=-1)
     d2 = jnp.where(cand_valid, d2, jnp.inf)

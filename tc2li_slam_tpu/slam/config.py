@@ -88,6 +88,11 @@ class TrackingConfig:
     max_obs: int = 12
     local_window: int = 8          # local BA covisible window
     ba_iters: int = 8
+    # Atlas recovery (Tracking.cc:2548,3698): frames of RECENTLY_LOST before
+    # the active map is frozen and a new one starts; minimum keyframes for a
+    # frozen map to be kept rather than discarded.
+    recently_lost_frames: int = 15
+    atlas_min_kf: int = 10
 
 
 @dataclass(frozen=True)
@@ -98,6 +103,9 @@ class SystemConfig:
     lidar: LidarConfig = field(default_factory=LidarConfig)
     tracking: TrackingConfig = field(default_factory=TrackingConfig)
     use_imu: bool = False          # IMU_STEREO_LIDAR vs STEREO_LIDAR
+    # DBoW2-path loop closing (the reference ships it excised and its configs
+    # set loopClosing: 0, but BASELINE targets the capability; see SURVEY §0)
+    loop_closing: bool = False
     # Run the temporal-window inertial BA (LocalLVIBA) instead of the
     # covisibility visual BA in IMU mode. Currently experimental: the
     # ESEKF-estimated biases leak scan-matching error into the

@@ -137,12 +137,20 @@ def lio_scan_step(
     return ScanResult(filt, m, p_w, ds_valid, n_iters, n_eff)
 
 
+@partial(jax.jit, static_argnames=("margin",))
 def maybe_recenter(m: voxel_map.VoxelMap, pos: jax.Array, margin: float = 150.0):
-    """Host-side helper: recenter the grid when the pose nears the edge
-    (``lasermap_fov_segment`` semantics). Returns (map, did_recenter)."""
-    if bool(voxel_map.needs_recenter(m, pos, margin)):
-        return voxel_map.recenter(m, pos), True
-    return m, False
+    """Recenter the grid when the pose nears the edge
+    (``lasermap_fov_segment`` semantics). Returns (map, did_recenter).
+
+    Device-side ``lax.cond`` — a host-side ``if bool(...)`` here would force
+    a device->host sync every frame, which on a tunneled TPU costs more than
+    the whole frame's compute.
+    """
+    need = voxel_map.needs_recenter(m, pos, margin)
+    m2 = jax.lax.cond(
+        need, lambda mm: voxel_map.recenter(mm, pos), lambda mm: mm, m
+    )
+    return m2, need
 
 
 # ---------------------------------------------------------------------------

@@ -45,26 +45,30 @@ class LidarStore(NamedTuple):
         )
 
 
-def select_window(m: mapstate.MapState, kf_id: int, n_window: int):
+def select_window(m: mapstate.MapState, kf_id: int, n_window: int,
+                  n_kf: int | None = None):
     """Covisibility window KF ids (host-side): the new KF + best covisible.
 
     Falls back to temporal neighbors when covisibility is thin (early map).
-    Returns (window list, fixed mask list) — oldest window KF is the gauge
-    anchor, mirroring the reference fixing observer KFs.
+    Returns (window list of EXACTLY n_window entries, NO_KF-padded at the
+    tail, and the matching fixed mask) — fixed shapes keep one compiled BA
+    for every window size. The oldest real KF is the gauge anchor, mirroring
+    the reference fixing observer KFs; padded slots are held fixed too.
     """
     neigh, w = mapstate.top_covisible(m, jnp.int32(kf_id), n_window - 1, min_weight=10)
     neigh = [int(i) for i, ww in zip(np.asarray(neigh), np.asarray(w)) if i >= 0 and ww > 0]
     window = sorted(set([kf_id] + neigh))
     # temporal fallback
-    want = min(n_window, int(m.n_kf))
+    want = min(n_window, int(m.n_kf) if n_kf is None else n_kf)
     i = kf_id - 1
     while len(window) < want and i >= 0:
         if i not in window:
             window.append(i)
         i -= 1
-    window = sorted(window)
+    window = sorted(window)[:n_window]
     fixed = [w == window[0] for w in window]
-    return window, fixed
+    pad = n_window - len(window)
+    return window + [mapstate.NO_KF] * pad, fixed + [True] * pad
 
 
 def run_local_ba(
@@ -81,11 +85,19 @@ def run_local_ba(
     balm_min_points: int = 15,
     w_lba: float = 0.01,
     iters: int = 8,
+    n_kf: int | None = None,   # host mirror of m.n_kf (avoids a device sync)
 ) -> mapstate.MapState:
-    """One LocalLVBundleAdjustment pass around ``kf_id``; returns updated map."""
-    window, fixed = select_window(m, kf_id, n_window)
-    P = len(window)
+    """One LocalLVBundleAdjustment pass around ``kf_id``; returns updated map.
+
+    The window is NO_KF-padded to exactly ``n_window`` slots so every call
+    (regardless of how many KFs exist yet) hits ONE compiled BA kernel —
+    variable window lengths would otherwise compile a fresh ~minute-long
+    XLA program per size.
+    """
+    window, fixed = select_window(m, kf_id, n_window, n_kf=n_kf)
+    P = len(window)  # == n_window always
     window_arr = jnp.asarray(window, jnp.int32)
+    wvalid = window_arr != mapstate.NO_KF
     fixed_arr = jnp.asarray(fixed)
 
     win_pos, uvr, inv_sigma2, stereo, ok = mapstate.landmark_major_obs(
@@ -97,62 +109,79 @@ def run_local_ba(
     # landmarks active in this window
     lm_active = jnp.any(ok, axis=1) & m.lm_valid
 
-    T0 = m.kf_T_cw[window_arr]
+    # padded slots get identity poses (finite math; they are fixed + have no
+    # observations, so they contribute nothing)
+    T0 = jnp.where(
+        wvalid[:, None, None],
+        m.kf_T_cw[jnp.clip(window_arr, 0, m.K - 1)],
+        jnp.eye(4, dtype=m.kf_T_cw.dtype),
+    )
     X0 = m.lm_pos
 
     extra_fn = None
     use_balm = lidar is not None and w_lba > 0
     if use_balm:
-        # last balm_window KFs of the window carry the lidar residual
-        lidar_ids = window[-min(balm_window, P):]
+        # last balm_window REAL KFs of the window carry the lidar residual;
+        # static slice size, NO_KF-padded like the window itself
+        bw = min(balm_window, n_window)
+        lidar_ids = [i for i in window if i != mapstate.NO_KF][-bw:]
+        pos_list = [window.index(i) for i in lidar_ids]
+        n_l = bw
+        lidar_ids += [mapstate.NO_KF] * (bw - len(lidar_ids))
+        pos_list += [0] * (bw - len(pos_list))
         lidx = jnp.asarray(lidar_ids, jnp.int32)
-        n_l = len(lidar_ids)
+        lvalid = lidx != mapstate.NO_KF
+        pos_in_win = jnp.asarray(pos_list, jnp.int32)
+        lidx_c = jnp.clip(lidx, 0, m.K - 1)
         T_wl_init = jax.vmap(
             lambda T: lie.se3_inverse(T) @ T_cl
-        )(m.kf_T_cw[lidx])
+        )(jnp.where(lvalid[:, None, None], m.kf_T_cw[lidx_c],
+                    jnp.eye(4, dtype=m.kf_T_cw.dtype)))
         clusters = balm_mod.build_clusters(
-            lidar.points[lidx], lidar.valid[lidx], T_wl_init,
+            lidar.points[lidx_c], lidar.valid[lidx_c] & lvalid[:, None],
+            T_wl_init,
             voxel_size=balm_voxel, max_voxels=balm_max_voxels,
             min_points=balm_min_points,
         )
-        if int(clusters.valid.sum()) == 0:
-            use_balm = False
-        else:
-            # window positions of the lidar KFs
-            pos_in_win = jnp.asarray(
-                [window.index(i) for i in lidar_ids], jnp.int32
-            )
-            # chain: left-tangent δ of T_cw -> right-tangent of T_wl is
-            # -Adj(T_lc) δ  (T_wl = T_cw^-1 T_cl)
-            C1 = -lie.se3_adjoint(lie.se3_inverse(T_cl))  # [6, 6]
+        # (no host-side emptiness check: an empty cluster set yields a zero
+        # quadratic, keeping the step sync-free and single-variant)
 
-            def extra_fn(T_cw_win):
-                T_wl = jax.vmap(lambda T: lie.se3_inverse(T) @ T_cl)(
-                    T_cw_win[pos_in_win]
-                )
-                q = balm_mod.quadratic(clusters, T_wl)
-                # block-transport to window tangents
-                D = 6 * P
-                H = jnp.zeros((D, D), T_cw_win.dtype)
-                g = jnp.zeros((D,), T_cw_win.dtype)
-                Hq = q.H.reshape(n_l, 6, n_l, 6)
-                gq = q.g.reshape(n_l, 6)
-                # transport each block: H_ab -> C1^T H_ab C1 ; g_a -> C1^T g_a
-                Ht = jnp.einsum("ki,akbl,lj->abij", C1, Hq, C1)
-                gt = jnp.einsum("ki,ak->ai", C1, gq)
-                rows = pos_in_win[:, None] * 6 + jnp.arange(6)[None, :]  # [n_l, 6]
-                H = H.at[rows[:, :, None, None], rows[None, None, :, :]].add(
-                    Ht.transpose(0, 2, 1, 3) * w_lba
-                )
-                g = g.at[rows.reshape(-1)].add(gt.reshape(-1) * w_lba)
-                return H, g, q.cost * w_lba
+        # chain: left-tangent δ of T_cw -> right-tangent of T_wl is
+        # -Adj(T_lc) δ  (T_wl = T_cw^-1 T_cl)
+        C1 = -lie.se3_adjoint(lie.se3_inverse(T_cl))  # [6, 6]
+
+        def extra_fn(T_cw_win):
+            T_wl = jax.vmap(lambda T: lie.se3_inverse(T) @ T_cl)(
+                T_cw_win[pos_in_win]
+            )
+            q = balm_mod.quadratic(clusters, T_wl)
+            # block-transport to window tangents
+            D = 6 * P
+            H = jnp.zeros((D, D), T_cw_win.dtype)
+            g = jnp.zeros((D,), T_cw_win.dtype)
+            Hq = q.H.reshape(n_l, 6, n_l, 6)
+            gq = q.g.reshape(n_l, 6)
+            # transport each block: H_ab -> C1^T H_ab C1 ; g_a -> C1^T g_a
+            Ht = jnp.einsum("ki,akbl,lj->abij", C1, Hq, C1)
+            gt = jnp.einsum("ki,ak->ai", C1, gq)
+            # padded lidar slots contribute nothing
+            lw = lvalid.astype(T_cw_win.dtype)
+            Ht = Ht * lw[:, None, None, None] * lw[None, :, None, None]
+            gt = gt * lw[:, None]
+            rows = pos_in_win[:, None] * 6 + jnp.arange(6)[None, :]  # [n_l, 6]
+            H = H.at[rows[:, :, None, None], rows[None, None, :, :]].add(
+                Ht.transpose(0, 2, 1, 3) * w_lba
+            )
+            g = g.at[rows.reshape(-1)].add(gt.reshape(-1) * w_lba)
+            return H, g, q.cost * w_lba
 
     res = lm_mod.local_ba(
         cam, T0, X0, obs, fixed_arr, lm_active, iters=iters, extra_fn=extra_fn
     )
 
     # write back window poses + landmark positions; erase chi2 outlier obs
-    new_T = m.kf_T_cw.at[window_arr].set(res.T_cw)
+    scatter_idx = jnp.where(wvalid, window_arr, m.K)  # padded -> dropped
+    new_T = m.kf_T_cw.at[scatter_idx].set(res.T_cw, mode="drop")
     new_X = jnp.where(lm_active[:, None], res.X_w, m.lm_pos)
     m = m._replace(kf_T_cw=new_T, lm_pos=new_X)
     return m

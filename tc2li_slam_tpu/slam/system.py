@@ -30,8 +30,9 @@ import jax.numpy as jnp
 from ..estimation import esekf, imu as imu_est
 from ..geom import camera as cam_mod, lie
 from ..ops import bow, pointcloud, voxel_map
-from . import (config as cfg_mod, imu_mode, lio, local_mapping, loop_closing,
-               mapstate, relocalization, tracking, trajectory)
+from . import (atlas as atlas_mod, config as cfg_mod, imu_mode, lio,
+               local_mapping, loop_closing, mapstate, relocalization,
+               tracking, trajectory)
 from ..solver import inertial_ba
 
 
@@ -79,11 +80,16 @@ class System:
         self.velocity = jnp.eye(4)        # T_cw_k @ inv(T_cw_{k-1})
         self.last_T_cw = jnp.eye(4)
         self.ref_kf = -1
+        self.n_kf_host = 0                # host mirror of map.n_kf (no sync)
         self.ref_kf_tracked = 0
         self.frames_since_kf = 0
         self.frame_idx = -1
-        # trajectory: (timestamp, ref_kf, T_cur_wrt_ref) — relative storage
-        self.traj: list[tuple[float, int, np.ndarray]] = []
+        # atlas multi-map recovery (CreateMapInAtlas, Tracking.cc:2548)
+        self.atlas = atlas_mod.Atlas()
+        self.map_id = 0
+        # trajectory: (timestamp, map_id, ref_kf, T_cur_wrt_ref device
+        # array) — relative storage; device arrays only fetched at save time
+        self.traj: list[tuple[float, int, int, jax.Array]] = []
         self.n_lost = 0
         if voc is not None:
             self.kf_words = jnp.full(
@@ -137,7 +143,7 @@ class System:
             self._track_frame(frame, t, scan, scan_valid)
 
         self._record_pose(t)
-        return np.asarray(self.T_cw)
+        return self.T_cw
 
     # ------------------------------------------------------------------
     def _stereo_initialization(self, frame, t, scan, scan_valid):
@@ -145,7 +151,11 @@ class System:
         n_depth = int(jnp.sum(frame.valid & (frame.depth > 0)))
         if n_depth < 100:
             return
-        self.T_cw = jnp.eye(4)
+        # Map 0 starts at the origin; atlas recovery maps are anchored at the
+        # dead-reckoned pose so the exported trajectory stays continuous
+        # (the reference restarts sub-maps at the origin instead).
+        if self.map_id == 0:
+            self.T_cw = jnp.eye(4)
         kf_id = self._create_keyframe(frame, t, scan, scan_valid,
                                       feat_lm=jnp.full((self.map.F,), mapstate.NO_LM, jnp.int32),
                                       run_ba=False)
@@ -193,34 +203,17 @@ class System:
     # ------------------------------------------------------------------
     def _track_frame(self, frame, t, scan, scan_valid):
         T_pred = self.velocity @ self.T_cw
-        # pass 1: guided matching at the motion-model pose
-        # (TrackWithMotionModel)
-        res = tracking.track_frame(
-            self.map, frame, T_pred, self.cam, self.scale_factors, self.sigma2,
+        # Fused 3-pass tracking (motion-model guided + global re-acquisition
+        # + refinement, TrackWithMotionModel / TrackReferenceKeyFrame /
+        # TrackLocalMap) with on-device best-of selection: ONE host sync per
+        # frame, on the inlier count driving the state machine.
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        new_map, res, T_new, vel_new = tracking.track_step(
+            self.map, frame, self.T_cw, self.velocity, sub, self.cam,
+            self.scale_factors, self.sigma2,
             jnp.asarray(self.cfg.tracking.match_radius_narrow, jnp.float32),
         )
-        n_inl = int(res.n_inliers)
-        # pass 2: window-free global descriptor match + pose opt
-        # (TrackReferenceKeyFrame's role). Run ALWAYS, not only on failure:
-        # velocity-model drift has no local failure signal (inlier counts
-        # stay plausible while the pose walks off), and the global pass is
-        # cheap as one batched Hamming matrix.
-        self._rng_key, sub = jax.random.split(self._rng_key)
-        res_g = tracking.track_frame_global(
-            self.map, frame, sub, self.cam, self.sigma2,
-        )
-        if int(res_g.n_inliers) > n_inl:
-            res, n_inl = res_g, int(res_g.n_inliers)
-        # pass 3: guided re-match + re-optimize at the corrected pose
-        # (TrackLocalMap, Tracking.cc:2836)
-        if n_inl >= 10:
-            res2 = tracking.track_frame(
-                self.map, frame, res.T_cw, self.cam, self.scale_factors,
-                self.sigma2,
-                jnp.asarray(self.cfg.tracking.match_radius_narrow, jnp.float32),
-            )
-            if int(res2.n_inliers) >= n_inl:
-                res, n_inl = res2, int(res2.n_inliers)
+        n_inl = int(res.n_inliers)  # the frame's single device->host sync
 
         if n_inl < 10 and self.voc is not None:
             # relocalization (Tracking.cc:3478): BoW candidates + PnP RANSAC
@@ -234,22 +227,29 @@ class System:
                     rr.T_cw, rr.feat_lm, jnp.int32(rr.n_inliers), jnp.int32(rr.n_inliers)
                 )
                 n_inl = rr.n_inliers
-                self.velocity = jnp.eye(4)  # motion model invalid after reloc
+                T_new = rr.T_cw
+                vel_new = jnp.eye(4)  # motion model invalid after reloc
 
         if n_inl < 10:
             self.state = TrackingState.RECENTLY_LOST
             self.n_lost += 1
-            # dead-reckon on the motion model (PredictStateIMU-style fallback)
+            # dead-reckon on the motion model (PredictStateIMU-style
+            # fallback): track_step already returned T_new = prediction
             self.last_T_cw = self.T_cw
-            self.T_cw = T_pred
+            self.T_cw = T_new
             self.frames_since_kf += 1
+            if self.n_lost >= self.cfg.tracking.recently_lost_frames:
+                # RECENTLY_LOST -> LOST: freeze the map, start a new one
+                # (CreateMapInAtlas / ResetActiveMap, Tracking.cc:2104-2123)
+                self._create_map_in_atlas()
             return
 
         self.state = TrackingState.OK
+        self.n_lost = 0
         self.last_T_cw = self.T_cw
-        self.T_cw = res.T_cw
-        self.velocity = self.T_cw @ lie.se3_inverse(self.last_T_cw)
-        self.map = tracking.update_found_counters(self.map, res.feat_lm)
+        self.T_cw = T_new
+        self.velocity = vel_new
+        self.map = new_map
 
         # LiDAR: insert this frame's scan into the voxel map at the tracked
         # pose (UpdateMap -> map_incremental, Tracking.cc:1603). In IMU mode
@@ -277,12 +277,15 @@ class System:
 
     # ------------------------------------------------------------------
     def _create_keyframe(self, frame, t, scan, scan_valid, feat_lm, run_ba):
-        self.map, kf_id = mapstate.add_keyframe(
+        self.map, _kf_slot = mapstate.add_keyframe(
             self.map, self.T_cw, jnp.asarray(t, jnp.float32),
             frame.xy, frame.uvr, frame.level, frame.angle, frame.desc,
             frame.valid, feat_lm,
         )
-        kf_id = int(kf_id)
+        # host mirror of the slot id (add_keyframe returns min(n_kf, K-1)):
+        # avoids a device->host sync on the hot keyframe path
+        kf_id = min(self.n_kf_host, self.cfg.tracking.max_kf - 1)
+        self.n_kf_host = min(self.n_kf_host + 1, self.cfg.tracking.max_kf)
 
         # stereo landmarks from unmatched close features; suppress features
         # that re-observe an existing landmark (duplicate control — the
@@ -352,9 +355,9 @@ class System:
             self._try_close_loop(kf_id)
 
         if (run_ba and self.use_imu and self.cfg.inertial_ba
-                and int(self.map.n_kf) >= 3):
+                and self.n_kf_host >= 3):
             self._run_lvi_ba(kf_id)
-        elif run_ba and int(self.map.n_kf) >= 3:
+        elif run_ba and self.n_kf_host >= 3:
             self.map = local_mapping.run_local_ba(
                 self.map, self.lidar_store, kf_id, self.cam, self.sigma2,
                 self.T_cl,
@@ -365,6 +368,7 @@ class System:
                 balm_min_points=self.cfg.lidar.balm_min_points,
                 w_lba=self.cfg.lidar.w_lba if self.lidar_enabled else 0.0,
                 iters=self.cfg.tracking.ba_iters,
+                n_kf=self.n_kf_host,
             )
             # adopt the refined pose of this KF as the current pose
             self.T_cw = self.map.kf_T_cw[kf_id]
@@ -374,7 +378,7 @@ class System:
     def _run_lvi_ba(self, kf_id: int):
         """Temporal-window visual-inertial(-LiDAR) BA (LocalLVIBA dispatch,
         LocalMapping.cc:158-173) with write-back of poses/velocities/biases."""
-        n_kf = int(self.map.n_kf)
+        n_kf = self.n_kf_host
         P = min(self.cfg.tracking.local_window, n_kf)
         window = list(range(kf_id - P + 1, kf_id + 1))
         window_arr = jnp.asarray(window, jnp.int32)
@@ -471,25 +475,76 @@ class System:
         self.lidar_store = self.lidar_store.set_kf(kf_id, pts, val)
 
     # ------------------------------------------------------------------
+    def _create_map_in_atlas(self):
+        """Freeze the active map and start a fresh one (Atlas recovery).
+
+        Maps with < atlas_min_kf keyframes are discarded (ResetActiveMap);
+        the new map initializes anchored at the current dead-reckoned pose
+        on the next frame with enough stereo depth."""
+        t = self.cfg.tracking
+        bundle = atlas_mod.MapBundle(
+            map=self.map,
+            lidar_store=self.lidar_store,
+            kf_words=self.kf_words if self.voc is not None else None,
+            imu_store=self.imu_store if self.use_imu else None,
+            n_kf=self.n_kf_host,
+            map_id=self.map_id,
+        )
+        self.atlas.freeze_or_discard(bundle, min_kf=t.atlas_min_kf)
+        self.map_id = self.atlas.n_created - 1
+        self.map = mapstate.create(
+            max_kf=t.max_kf, max_feats=self.cfg.orb.n_features,
+            max_lm=t.max_lm, max_obs=t.max_obs,
+        )
+        if self.lidar_enabled:
+            self.lidar_store = local_mapping.LidarStore.create(
+                t.max_kf, self.cfg.lidar.kf_points
+            )
+        if self.voc is not None:
+            self.kf_words = jnp.full(
+                (t.max_kf, self.cfg.orb.n_features), -1, jnp.int32
+            )
+        if self.use_imu:
+            self.imu_store = imu_mode.ImuKfStore.create(t.max_kf)
+        self.n_kf_host = 0
+        self.ref_kf = -1
+        self.ref_kf_tracked = 0
+        self.frames_since_kf = 0
+        self.n_lost = 0
+        self.velocity = jnp.eye(4)
+        self.state = TrackingState.NOT_INITIALIZED
+
+    # ------------------------------------------------------------------
     def _record_pose(self, t):
         T_ref = self.map.kf_T_cw[max(self.ref_kf, 0)]
-        T_rel = np.asarray(self.T_cw @ lie.se3_inverse(T_ref))
-        self.traj.append((float(t), self.ref_kf, T_rel))
+        T_rel = self.T_cw @ lie.se3_inverse(T_ref)  # stays on device
+        self.traj.append((float(t), self.map_id, self.ref_kf, T_rel))
 
     # ------------------------------------------------------------------
     def trajectory_world_from_cam(self) -> np.ndarray:
         """Recompose per-frame poses against (possibly BA-refined) KF poses
-        and return world-from-camera [N, 4, 4] (SaveTrajectoryKITTI logic)."""
-        kf_T = np.asarray(self.map.kf_T_cw)
+        and return world-from-camera [N, 4, 4] (SaveTrajectoryKITTI logic).
+
+        Per-frame poses are stored relative to their reference KF *within
+        their sub-map*; each sub-map's (possibly refined) KF pose array is
+        fetched once. Frames whose sub-map was discarded fall back to the
+        recorded relative pose against identity (dead-reckoned segment)."""
+        kf_T_by_map: dict[int, np.ndarray] = {self.map_id: np.asarray(self.map.kf_T_cw)}
+        for bundle in self.atlas.frozen:
+            kf_T_by_map[bundle.map_id] = np.asarray(bundle.map.kf_T_cw)
+        # one batched fetch for all per-frame relative poses (device arrays)
+        T_rels = np.asarray(jnp.stack([T_rel for *_, T_rel in self.traj]))
+        eye = np.eye(4, dtype=T_rels.dtype)
         out = []
-        for t, ref, T_rel in self.traj:
-            T_cw = T_rel @ kf_T[max(ref, 0)]
-            out.append(np.linalg.inv(T_cw))
+        for (t, mid, ref, _), T_rel in zip(self.traj, T_rels):
+            kf_T = kf_T_by_map.get(mid)
+            T_ref = kf_T[max(ref, 0)] if (kf_T is not None and ref >= 0) else eye
+            out.append(np.linalg.inv(T_rel @ T_ref))
         return np.stack(out)
 
     def save_trajectory_kitti(self, path: str):
         trajectory.save_kitti(path, self.trajectory_world_from_cam())
 
     def save_trajectory_tum(self, path: str):
-        times = [t for t, _, _ in self.traj]
+        times = [t for t, *_ in self.traj]
         trajectory.save_tum(path, times, self.trajectory_world_from_cam())

@@ -184,6 +184,55 @@ def track_frame_global(
     return TrackResult(res.T_cw, feat_lm, res.n_inliers, jnp.sum(matched))
 
 
+def _select(cond, a, b):
+    """Elementwise tree select: cond ? a : b (cond is a traced scalar)."""
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(cond, x, y), a, b)
+
+
+@jax.jit
+def track_step(
+    m: mapstate.MapState,
+    frame: Frame,
+    T_cw_prev: jax.Array,
+    velocity: jax.Array,
+    key: jax.Array,
+    cam: cam_mod.Pinhole,
+    scale_factors: jax.Array,
+    sigma2: jax.Array,
+    radius: jax.Array,
+) -> tuple[mapstate.MapState, TrackResult, jax.Array, jax.Array]:
+    """One fused tracking step: motion-model pass + global re-acquisition
+    pass + refinement pass, best-of selection, found-counter bookkeeping and
+    motion-model update — all on device so the host syncs ONCE per frame
+    (on ``n_inliers``) instead of after every pass.
+
+    The three passes mirror TrackWithMotionModel / TrackReferenceKeyFrame /
+    TrackLocalMap (Tracking.cc:2737,2603,2836); the reference sequences them
+    with early exits, but each is cheap as a batched kernel and running all
+    three unconditionally keeps the step branch-free for XLA.
+
+    Returns (map', best TrackResult, T_cw', velocity'). When tracking fails
+    (<10 inliers) T_cw' is the motion-model prediction (dead reckoning) and
+    the velocity/counters are left unchanged.
+    """
+    T_pred = velocity @ T_cw_prev
+    res = track_frame(m, frame, T_pred, cam, scale_factors, sigma2, radius)
+    res_g = track_frame_global(m, frame, key, cam, sigma2)
+    res = _select(res_g.n_inliers > res.n_inliers, res_g, res)
+    res2 = track_frame(m, frame, res.T_cw, cam, scale_factors, sigma2, radius)
+    res = _select(
+        (res.n_inliers >= 10) & (res2.n_inliers >= res.n_inliers), res2, res
+    )
+    ok = res.n_inliers >= 10
+    res = res._replace(
+        T_cw=jnp.where(ok, res.T_cw, T_pred),
+        feat_lm=jnp.where(ok, res.feat_lm, mapstate.NO_LM),
+    )
+    m = update_found_counters(m, res.feat_lm)
+    vel_new = jnp.where(ok, res.T_cw @ lie.se3_inverse(T_cw_prev), velocity)
+    return m, res, res.T_cw, vel_new
+
+
 @jax.jit
 def update_found_counters(m: mapstate.MapState, feat_lm: jax.Array) -> mapstate.MapState:
     """IncreaseFound/IncreaseVisible bookkeeping after a tracked frame."""
