@@ -106,6 +106,7 @@ class SystemConfig:
     # DBoW2-path loop closing (the reference ships it excised and its configs
     # set loopClosing: 0, but BASELINE targets the capability; see SURVEY §0)
     loop_closing: bool = False
+    profile: bool = False          # per-stage StageTimer (REGISTER_TIMES)
     # Run the temporal-window inertial BA (LocalLVIBA) instead of the
     # covisibility visual BA in IMU mode. Currently experimental: the
     # ESEKF-estimated biases leak scan-matching error into the

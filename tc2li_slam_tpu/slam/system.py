@@ -31,8 +31,8 @@ from ..estimation import esekf, imu as imu_est
 from ..geom import camera as cam_mod, lie
 from ..ops import bow, pointcloud, voxel_map
 from . import (atlas as atlas_mod, config as cfg_mod, imu_mode, lio,
-               local_mapping, loop_closing, mapstate, relocalization,
-               tracking, trajectory)
+               local_mapping, loop_closing, mapstate, profiling,
+               relocalization, tracking, trajectory)
 from ..solver import inertial_ba
 
 
@@ -96,6 +96,8 @@ class System:
                 (cfg.tracking.max_kf, cfg.orb.n_features), -1, jnp.int32
             )
         self._rng_key = jax.random.PRNGKey(0)
+        # REGISTER_TIMES analog: per-stage host timings (profiling.py)
+        self.timers = profiling.StageTimer(enabled=cfg.profile)
 
         # --- IMU_STEREO_LIDAR mode state (LidarInertialProcess + inertial BA)
         self.use_imu = cfg.use_imu
@@ -128,21 +130,25 @@ class System:
         motion prediction for visual tracking, replacing the constant
         velocity model (PredictStateIMU's role)."""
         self.frame_idx += 1
-        if self.use_imu and gyro is not None and scan is not None:
-            self._lio_step(scan, scan_times, scan_valid, gyro, acc,
-                           imu_dts, imu_trel)
-        frame = tracking.build_frame(
-            jnp.asarray(img_l), jnp.asarray(img_r), self.cam,
-            self.scale_factors,
-            n_features=self.cfg.orb.n_features, n_levels=self.cfg.orb.n_levels,
-        )
+        with self.timers.stage("frame"):
+            if self.use_imu and gyro is not None and scan is not None:
+                with self.timers.stage("lio"):
+                    self._lio_step(scan, scan_times, scan_valid, gyro, acc,
+                                   imu_dts, imu_trel)
+            with self.timers.stage("build_frame"):
+                frame = tracking.build_frame(
+                    jnp.asarray(img_l), jnp.asarray(img_r), self.cam,
+                    self.scale_factors,
+                    n_features=self.cfg.orb.n_features,
+                    n_levels=self.cfg.orb.n_levels,
+                )
 
-        if self.state == TrackingState.NOT_INITIALIZED:
-            self._stereo_initialization(frame, t, scan, scan_valid)
-        else:
-            self._track_frame(frame, t, scan, scan_valid)
+            if self.state == TrackingState.NOT_INITIALIZED:
+                self._stereo_initialization(frame, t, scan, scan_valid)
+            else:
+                self._track_frame(frame, t, scan, scan_valid)
 
-        self._record_pose(t)
+            self._record_pose(t)
         return self.T_cw
 
     # ------------------------------------------------------------------
@@ -208,12 +214,14 @@ class System:
         # TrackLocalMap) with on-device best-of selection: ONE host sync per
         # frame, on the inlier count driving the state machine.
         self._rng_key, sub = jax.random.split(self._rng_key)
-        new_map, res, T_new, vel_new = tracking.track_step(
-            self.map, frame, self.T_cw, self.velocity, sub, self.cam,
-            self.scale_factors, self.sigma2,
-            jnp.asarray(self.cfg.tracking.match_radius_narrow, jnp.float32),
-        )
-        n_inl = int(res.n_inliers)  # the frame's single device->host sync
+        with self.timers.stage("track_step"):
+            new_map, res, T_new, vel_new = tracking.track_step(
+                self.map, frame, self.T_cw, self.velocity, sub, self.cam,
+                self.scale_factors, self.sigma2,
+                jnp.asarray(self.cfg.tracking.match_radius_narrow, jnp.float32),
+            )
+        with self.timers.stage("sync"):
+            n_inl = int(res.n_inliers)  # the frame's single device->host sync
 
         if n_inl < 10 and self.voc is not None:
             # relocalization (Tracking.cc:3478): BoW candidates + PnP RANSAC
@@ -255,11 +263,13 @@ class System:
         # pose (UpdateMap -> map_incremental, Tracking.cc:1603). In IMU mode
         # the ESEKF scan step already inserted it (map_incremental there).
         if self.lidar_enabled and scan is not None and not self.use_imu:
-            self._lidar_frame_update(scan, scan_valid)
+            with self.timers.stage("lidar_update"):
+                self._lidar_frame_update(scan, scan_valid)
 
         if self._need_new_keyframe(n_inl, frame):
-            self._create_keyframe(frame, t, scan, scan_valid, res.feat_lm,
-                                  run_ba=True)
+            with self.timers.stage("keyframe"):
+                self._create_keyframe(frame, t, scan, scan_valid, res.feat_lm,
+                                      run_ba=True)
             self.frames_since_kf = 0
         else:
             self.frames_since_kf += 1
