@@ -16,6 +16,7 @@ HISTO_LENGTH=30 (ORBmatcher.h).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -27,7 +28,27 @@ HISTO_LENGTH = 30
 
 
 def hamming_matrix(d1: jax.Array, d2: jax.Array) -> jax.Array:
-    """[N, 8] x [M, 8] uint32 -> [N, M] int32 Hamming distances."""
+    """[N, 8] x [M, 8] uint32 -> [N, M] int32 Hamming distances.
+
+    On TPU this is a bf16 MXU contraction over unpacked bit vectors
+    (``kernels.hamming``, exact) — the [N, M, 8] XOR+popcount broadcast is
+    VPU-bound with a big HBM intermediate; the matmul form is the
+    speed-of-light layout for this op. Elsewhere: XOR + popcount.
+    """
+    if (
+        jax.default_backend() == "tpu"
+        and d1.shape[0] >= 8
+        and d2.shape[0] >= 8
+        and not os.environ.get("TC2LI_NO_TPU_KERNELS")
+    ):
+        from .kernels.hamming import hamming_matrix_mxu
+
+        return hamming_matrix_mxu(d1, d2)
+    return hamming_matrix_xor(d1, d2)
+
+
+def hamming_matrix_xor(d1: jax.Array, d2: jax.Array) -> jax.Array:
+    """Reference XOR+popcount path for ``hamming_matrix``."""
     x = jnp.bitwise_xor(d1[:, None, :], d2[None, :, :])
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
 

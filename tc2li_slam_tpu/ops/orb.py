@@ -23,6 +23,7 @@ Descriptors are returned as [K, 8] uint32 words (= 32 bytes little-endian,
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -101,10 +102,39 @@ class Keypoints(NamedTuple):
 def fast_score(img: jax.Array, threshold: float) -> jax.Array:
     """FAST-16 segment-test score map (0 where not a corner).
 
+    Dispatcher: on TPU, the Pallas kernel (``kernels.fast``) keeps the level
+    in VMEM and avoids the [16, H, W] HBM intermediates; elsewhere the XLA
+    rolled-comparison path below. Both are exact FAST-9/16 scores.
+    """
+    raw = fast_score_raw(img)
+    return jnp.where(raw > threshold, raw, 0.0)
+
+
+def fast_score_raw(img: jax.Array) -> jax.Array:
+    """Ungated FAST-16 segment-test score (may be <= 0 in flat regions).
+
+    The threshold only ever appears as a final gate on this map, so the two
+    detection thresholds of ``detect_level`` share one score computation.
+    """
+    if jax.default_backend() == "tpu" and not os.environ.get("TC2LI_NO_TPU_KERNELS"):
+        from .kernels.fast import fast_score_pallas
+
+        return fast_score_pallas(img, 0.0, interpret=False)
+    return _fast_score_raw_xla(img)
+
+
+def fast_score_xla(img: jax.Array, threshold: float) -> jax.Array:
+    """XLA reference path for ``fast_score``.
+
     Score = max over the 16 circular 9-runs of min(|neighbor - center|)
     restricted to runs that are all-brighter or all-darker by > threshold —
     the exact quantity OpenCV's FAST NMS ranks by.
     """
+    raw = _fast_score_raw_xla(img)
+    return jnp.where(raw > threshold, raw, 0.0)
+
+
+def _fast_score_raw_xla(img: jax.Array) -> jax.Array:
     f = img.astype(jnp.float32)
     nbrs = jnp.stack(
         [jnp.roll(f, (-int(dy), -int(dx)), axis=(0, 1)) for dx, dy in _FAST_OFFS],
@@ -120,11 +150,10 @@ def fast_score(img: jax.Array, threshold: float) -> jax.Array:
     sb = run_min(dpos)
     sd = run_min(dneg)
     score = jnp.maximum(sb, sd)
-    corner = score > threshold
     # kill borders (circle radius 3)
     H, W = img.shape
     border = jnp.zeros((H, W), bool).at[3 : H - 3, 3 : W - 3].set(True)
-    return jnp.where(corner & border, score, 0.0)
+    return jnp.where(border, score, 0.0)
 
 
 def _maxpool2d(x: jax.Array, k: int) -> jax.Array:
@@ -147,9 +176,14 @@ def _cell_has(x: jax.Array, cell: int) -> jax.Array:
 def detect_level(
     img: jax.Array, ini_th: float = 20.0, min_th: float = 7.0, cell: int = 35
 ) -> jax.Array:
-    """Adaptive-threshold FAST + 3x3 NMS score map (ComputeKeyPointsOctTree)."""
-    s_ini = fast_score(img, ini_th)
-    s_min = fast_score(img, min_th)
+    """Adaptive-threshold FAST + 3x3 NMS score map (ComputeKeyPointsOctTree).
+
+    One raw score computation serves both thresholds — they are just gates
+    on the same segment-test score map.
+    """
+    raw = fast_score_raw(img)
+    s_ini = jnp.where(raw > ini_th, raw, 0.0)
+    s_min = jnp.where(raw > min_th, raw, 0.0)
     has_ini = _cell_has((s_ini > 0).astype(jnp.float32), cell) > 0
     score = jnp.where(has_ini, s_ini, s_min)
     is_max = score >= _maxpool2d(score, 3)
