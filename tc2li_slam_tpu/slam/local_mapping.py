@@ -71,6 +71,51 @@ def select_window(m: mapstate.MapState, kf_id: int, n_window: int,
     return window + [mapstate.NO_KF] * pad, fixed + [True] * pad
 
 
+def _balm_extra(
+    T_cw_win: jax.Array,      # [P, 4, 4] window camera poses (traced)
+    clusters: balm_mod.VoxelClusters,
+    pos_in_win: jax.Array,    # [n_l] window-slot index per lidar KF
+    lvalid: jax.Array,        # [n_l] real (non-padded) lidar slots
+    T_cl: jax.Array,          # [4, 4] camera-from-lidar extrinsic
+    w_lba: jax.Array,         # scalar LiDAR BA weight
+):
+    """BALM eigen-factor quadratic, transported to window pose tangents.
+
+    Module-level on purpose: ``run_local_ba`` binds the per-window arrays
+    via ``jax.tree_util.Partial`` so ``local_ba`` sees ONE stable callable
+    and compiles exactly once (the round-1 per-keyframe closure recompiled
+    XLA on every BA keyframe). This is the ``EdgeLidarSE3::
+    constructQuadraticForm`` dense-block injection (G2oTypesWithLidar.h:
+    169-236) with the camera-frame chain rule of ComputeJandHSE3
+    (LidarRes.cc:130-175) folded into an adjoint transport.
+    """
+    P = T_cw_win.shape[0]
+    n_l = pos_in_win.shape[0]
+    # chain: left-tangent δ of T_cw -> right-tangent of T_wl is
+    # -Adj(T_lc) δ  (T_wl = T_cw^-1 T_cl)
+    C1 = -lie.se3_adjoint(lie.se3_inverse(T_cl))  # [6, 6]
+    T_wl = jax.vmap(lambda T: lie.se3_inverse(T) @ T_cl)(T_cw_win[pos_in_win])
+    q = balm_mod.quadratic(clusters, T_wl)
+    D = 6 * P
+    H = jnp.zeros((D, D), T_cw_win.dtype)
+    g = jnp.zeros((D,), T_cw_win.dtype)
+    Hq = q.H.reshape(n_l, 6, n_l, 6)
+    gq = q.g.reshape(n_l, 6)
+    # transport each block: H_ab -> C1^T H_ab C1 ; g_a -> C1^T g_a
+    Ht = jnp.einsum("ki,akbl,lj->abij", C1, Hq, C1)
+    gt = jnp.einsum("ki,ak->ai", C1, gq)
+    # padded lidar slots contribute nothing
+    lw = lvalid.astype(T_cw_win.dtype)
+    Ht = Ht * lw[:, None, None, None] * lw[None, :, None, None]
+    gt = gt * lw[:, None]
+    rows = pos_in_win[:, None] * 6 + jnp.arange(6)[None, :]  # [n_l, 6]
+    H = H.at[rows[:, :, None, None], rows[None, None, :, :]].add(
+        Ht.transpose(0, 2, 1, 3) * w_lba
+    )
+    g = g.at[rows.reshape(-1)].add(gt.reshape(-1) * w_lba)
+    return H, g, q.cost * w_lba
+
+
 def run_local_ba(
     m: mapstate.MapState,
     lidar: LidarStore | None,
@@ -126,7 +171,6 @@ def run_local_ba(
         bw = min(balm_window, n_window)
         lidar_ids = [i for i in window if i != mapstate.NO_KF][-bw:]
         pos_list = [window.index(i) for i in lidar_ids]
-        n_l = bw
         lidar_ids += [mapstate.NO_KF] * (bw - len(lidar_ids))
         pos_list += [0] * (bw - len(pos_list))
         lidx = jnp.asarray(lidar_ids, jnp.int32)
@@ -146,34 +190,17 @@ def run_local_ba(
         # (no host-side emptiness check: an empty cluster set yields a zero
         # quadratic, keeping the step sync-free and single-variant)
 
-        # chain: left-tangent δ of T_cw -> right-tangent of T_wl is
-        # -Adj(T_lc) δ  (T_wl = T_cw^-1 T_cl)
-        C1 = -lie.se3_adjoint(lie.se3_inverse(T_cl))  # [6, 6]
-
-        def extra_fn(T_cw_win):
-            T_wl = jax.vmap(lambda T: lie.se3_inverse(T) @ T_cl)(
-                T_cw_win[pos_in_win]
-            )
-            q = balm_mod.quadratic(clusters, T_wl)
-            # block-transport to window tangents
-            D = 6 * P
-            H = jnp.zeros((D, D), T_cw_win.dtype)
-            g = jnp.zeros((D,), T_cw_win.dtype)
-            Hq = q.H.reshape(n_l, 6, n_l, 6)
-            gq = q.g.reshape(n_l, 6)
-            # transport each block: H_ab -> C1^T H_ab C1 ; g_a -> C1^T g_a
-            Ht = jnp.einsum("ki,akbl,lj->abij", C1, Hq, C1)
-            gt = jnp.einsum("ki,ak->ai", C1, gq)
-            # padded lidar slots contribute nothing
-            lw = lvalid.astype(T_cw_win.dtype)
-            Ht = Ht * lw[:, None, None, None] * lw[None, :, None, None]
-            gt = gt * lw[:, None]
-            rows = pos_in_win[:, None] * 6 + jnp.arange(6)[None, :]  # [n_l, 6]
-            H = H.at[rows[:, :, None, None], rows[None, None, :, :]].add(
-                Ht.transpose(0, 2, 1, 3) * w_lba
-            )
-            g = g.at[rows.reshape(-1)].add(gt.reshape(-1) * w_lba)
-            return H, g, q.cost * w_lba
+        # Partial over the module-level function: the per-window arrays are
+        # DATA (traced jit args), so local_ba compiles once — never a fresh
+        # closure in static_argnames (round-1 recompiled per keyframe).
+        extra_fn = jax.tree_util.Partial(
+            _balm_extra,
+            clusters=clusters,
+            pos_in_win=pos_in_win,
+            lvalid=lvalid,
+            T_cl=T_cl,
+            w_lba=jnp.asarray(w_lba, jnp.float32),
+        )
 
     res = lm_mod.local_ba(
         cam, T0, X0, obs, fixed_arr, lm_active, iters=iters, extra_fn=extra_fn

@@ -59,6 +59,8 @@ class VoxelClusters(NamedTuple):
     valid: jax.Array  # [V] voxel passes the plane test
 
 
+@partial(jax.jit, static_argnames=("voxel_size", "max_voxels", "min_points",
+                                   "plane_ratio"))
 def build_clusters(
     points: jax.Array,   # [W, M, 3] surf points per window KF, LiDAR frame
     valid: jax.Array,    # [W, M]

@@ -145,7 +145,7 @@ def _assemble_visual(cam, T_cw, X_w, obs: BAObservations, gate: bool):
     return rr, w, active, pidx
 
 
-@partial(jax.jit, static_argnames=("iters", "extra_fn"))
+@partial(jax.jit, static_argnames=("iters",))
 def local_ba(
     cam: cam_mod.Pinhole,
     T_cw0: jax.Array,        # [P, 4, 4]
@@ -161,6 +161,10 @@ def local_ba(
 
     ``extra_fn`` injects dense cross-pose quadratic terms — with the BALM
     eigen-factor it reproduces LocalLVBundleAdjustment's EdgeLidarSE3.
+    It must be ``None`` or a ``jax.tree_util.Partial`` over a MODULE-LEVEL
+    function with array operands: Partial is a pytree, so its arrays are
+    traced arguments and only the (stable) function identity keys the jit
+    cache — a fresh Python closure per call would recompile every time.
     """
     P = T_cw0.shape[0]
     L, K = obs.pose_idx.shape

@@ -78,3 +78,17 @@ def test_e2e_trajectory_io(tmp_path):
     np.testing.assert_allclose(loaded[:, :3, :], est[:, :3, :], rtol=1e-5, atol=1e-6)
     lines = tum.read_text().strip().splitlines()
     assert len(lines) == len(est) and len(lines[0].split()) == 8
+
+
+@pytest.mark.slow
+def test_local_ba_compiles_once():
+    """Regression: round 1 passed a fresh extra_fn closure per keyframe as a
+    static jit arg, recompiling the local BA XLA program on EVERY BA
+    keyframe. The BALM term must enter as data (tree_util.Partial), keeping
+    one cache entry across keyframes."""
+    from tc2li_slam_tpu.solver import lm as lm_mod
+    before = lm_mod.local_ba._cache_size()
+    slam, est, gt = run_sequence(n_frames=20, lidar=True)
+    n_ba_kf = max(int(slam.map.n_kf) - 2, 0)  # BA runs from the 3rd KF on
+    assert n_ba_kf >= 2, "sequence must exercise several BA keyframes"
+    assert lm_mod.local_ba._cache_size() - before <= 1
