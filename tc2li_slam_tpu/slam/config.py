@@ -88,6 +88,11 @@ class TrackingConfig:
     max_obs: int = 12
     local_window: int = 8          # local BA covisible window
     ba_iters: int = 8
+    # mapping maintenance (LocalMapping::Run passes)
+    triangulate: bool = True       # CreateNewMapPoints between covisible KFs
+    tri_pairs: int = 3             # neighbor pairs triangulated per keyframe
+    cull_kf_every: int = 3         # KeyFrameCulling cadence (keyframes)
+    cull_kf_redundancy: float = 0.9  # 90% redundant-observation rule
     # Atlas recovery (Tracking.cc:2548,3698): frames of RECENTLY_LOST before
     # the active map is frozen and a new one starts; minimum keyframes for a
     # frozen map to be kept rather than discarded.
@@ -108,9 +113,8 @@ class SystemConfig:
     loop_closing: bool = False
     profile: bool = False          # per-stage StageTimer (REGISTER_TIMES)
     # Run the temporal-window inertial BA (LocalLVIBA) instead of the
-    # covisibility visual BA in IMU mode. Currently experimental: the
-    # ESEKF-estimated biases leak scan-matching error into the
-    # preintegration linearization and can degrade the (already strong)
-    # LIO-predicted visual solution — revisit with a proper joint
-    # visual-inertial initialization.
-    inertial_ba: bool = False
+    # covisibility visual BA in IMU mode, after the staged visual-inertial
+    # initialization (gravity + bias + velocity bundle on the keyframe map,
+    # LocalMapping::InitializeIMU) has converged. Until that point the
+    # system falls back to the visual(-LiDAR) BA.
+    inertial_ba: bool = True

@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..geom import camera as cam_mod, lie
 from ..ops import matching
 from . import mapstate
 
@@ -63,11 +64,11 @@ def cull_keyframes(
     red_m = jnp.where(cand, red, -1.0)
     best = jnp.argmax(red_m)
     kill = jnp.zeros(m.K, bool).at[best].set(red_m[best] > 0)
-    return _remove_keyframes(m, kill)
+    return remove_keyframes(m, kill)
 
 
 @jax.jit
-def _remove_keyframes(m: mapstate.MapState, kill: jax.Array) -> mapstate.MapState:
+def remove_keyframes(m: mapstate.MapState, kill: jax.Array) -> mapstate.MapState:
     kf_valid = m.kf_valid & ~kill
     # scrub observation slots referring to killed KFs
     obs_kf = m.lm_obs_kf
@@ -102,16 +103,19 @@ def fuse_duplicates(
     both = m.lm_valid[:, None] & m.lm_valid[None, :]
     ham = matching.hamming_matrix(m.lm_desc, m.lm_desc)
     same = close & both & (ham <= max_hamming)
-    # candidate survivors must be strictly older (smaller id)
+    # candidate survivors must be strictly older. With slot recycling the id
+    # no longer encodes age — use birth keyframe, id as tie-break.
     ids = jnp.arange(L)
-    older = ids[None, :] < ids[:, None]
+    age = m.lm_first_kf
+    older = (age[None, :] < age[:, None]) | (
+        (age[None, :] == age[:, None]) & (ids[None, :] < ids[:, None])
+    )
     cand = same & older
-    # survivor = the smallest-id matching older landmark
+    # survivor = the first matching older landmark (chains a->b->c resolve
+    # over successive calls)
     first = jnp.argmax(cand, axis=1)          # first True (0 if none)
     has = jnp.any(cand, axis=1)
     target = jnp.where(has, first, ids)
-    # path-compress one step (chains a->b->c resolve next call)
-    target = jnp.where(has, jnp.where(target < ids, target, ids), ids)
 
     # redirect keyframe feature links
     linked = m.kf_feat_lm != mapstate.NO_LM
@@ -130,4 +134,89 @@ def fuse_duplicates(
         lm_valid=lm_valid,
         lm_found=found,
         lm_visible=visible,
+        n_lm=jnp.sum(lm_valid).astype(jnp.int32),
     )
+
+
+@jax.jit
+def fuse_into_keyframe(
+    m: mapstate.MapState,
+    kf_id: jax.Array,
+    cam: cam_mod.Pinhole,
+    scale_factors: jax.Array,
+) -> mapstate.MapState:
+    """SearchInNeighbors' Fuse (LocalMapping.cc:728, ORBmatcher::Fuse),
+    keyframe-centric: project every valid landmark into ``kf_id``, match
+    against its features, then
+
+    - feature already linked to a DIFFERENT landmark -> the two landmarks
+      are the same physical point: merge the younger into the older
+      (MapPoint::Replace), redirecting all keyframe links;
+    - feature unlinked -> extend the landmark with a new observation
+      (the half of Fuse that grows observation counts, which in turn feeds
+      MapPointCulling's n_obs rule).
+
+    O(L x F) masked Hamming — the same shape as the per-frame tracker, so
+    bounded regardless of pool size (the naive pairwise fuse is O(L^2))."""
+    kfc = jnp.clip(kf_id, 0, m.K - 1)
+    T = m.kf_T_cw[kfc]
+    Xc = lie.se3_apply(T, m.lm_pos)
+    uv = cam_mod.project(cam, Xc)
+    depth_ok = Xc[:, 2] > 0.1
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < 2 * cam.cx + 64)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < 2 * cam.cy + 64)
+    )
+    dist = jnp.linalg.norm(Xc, axis=-1)
+    dist_ok = (dist >= 0.5 * m.lm_dist[:, 0]) & (
+        dist <= 1.5 * jnp.maximum(m.lm_dist[:, 1], 1e-3)
+    )
+    cand = m.lm_valid & depth_ok & in_img & dist_ok
+    ratio = jnp.maximum(m.lm_dist[:, 1], 1e-3) / jnp.maximum(dist, 1e-3)
+    pred_level = jnp.clip(
+        jnp.ceil(jnp.log(jnp.maximum(ratio, 1.0)) / jnp.log(scale_factors[1])),
+        0, scale_factors.shape[0] - 1,
+    ).astype(jnp.int32)
+    rad = 3.0 * scale_factors[pred_level]
+    kp_idx, dist_h, matched = matching.search_by_projection(
+        uv, pred_level, m.lm_desc, cand,
+        m.kf_xy[kfc], m.kf_level[kfc], m.kf_desc[kfc], m.kf_feat_valid[kfc],
+        rad, max_dist=matching.TH_LOW, ratio=1.0,
+    )
+    matched = matching.resolve_duplicates(kp_idx, dist_h, matched, m.F)
+
+    L = m.L
+    ids = jnp.arange(L)
+    cur = m.kf_feat_lm[kfc][jnp.clip(kp_idx, 0, m.F - 1)]   # [L]
+    cur_c = jnp.clip(cur, 0, L - 1)
+    conflict = matched & (cur != mapstate.NO_LM) & (cur_c != ids) & m.lm_valid[cur_c]
+    # older wins (birth keyframe; id tie-break)
+    self_older = (m.lm_first_kf < m.lm_first_kf[cur_c]) | (
+        (m.lm_first_kf == m.lm_first_kf[cur_c]) & (ids < cur_c)
+    )
+    dead = jnp.where(self_older, cur_c, ids)
+    surv = jnp.where(self_older, ids, cur_c)
+    target = ids.at[jnp.where(conflict, dead, L)].set(
+        jnp.where(conflict, surv, 0), mode="drop"
+    )
+    dead_mask = jnp.zeros(L, bool).at[jnp.where(conflict, dead, L)].set(
+        conflict, mode="drop"
+    )
+    # redirect every keyframe link of a dead landmark to its survivor
+    linked = m.kf_feat_lm != mapstate.NO_LM
+    lm_links = jnp.clip(m.kf_feat_lm, 0, L - 1)
+    new_links = jnp.where(linked, target[lm_links], m.kf_feat_lm)
+    # merge counters into survivors
+    found = m.lm_found.at[target].add(jnp.where(dead_mask, m.lm_found, 0))
+    visible = m.lm_visible.at[target].add(jnp.where(dead_mask, m.lm_visible, 0))
+    lm_valid = m.lm_valid & ~dead_mask
+    m = m._replace(
+        kf_feat_lm=new_links.astype(jnp.int32),
+        lm_valid=lm_valid,
+        lm_found=found,
+        lm_visible=visible,
+        n_lm=jnp.sum(lm_valid).astype(jnp.int32),
+    )
+    # extend observations where the matched feature was unlinked
+    extend = matched & (cur == mapstate.NO_LM) & lm_valid
+    return mapstate.link_observations(m, kfc, kp_idx, ids, extend)

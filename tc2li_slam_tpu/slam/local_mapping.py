@@ -46,23 +46,28 @@ class LidarStore(NamedTuple):
 
 
 def select_window(m: mapstate.MapState, kf_id: int, n_window: int,
-                  n_kf: int | None = None):
+                  n_kf: int | None = None,
+                  alive: "list[bool] | None" = None):
     """Covisibility window KF ids (host-side): the new KF + best covisible.
 
-    Falls back to temporal neighbors when covisibility is thin (early map).
-    Returns (window list of EXACTLY n_window entries, NO_KF-padded at the
-    tail, and the matching fixed mask) — fixed shapes keep one compiled BA
-    for every window size. The oldest real KF is the gauge anchor, mirroring
-    the reference fixing observer KFs; padded slots are held fixed too.
+    Falls back to temporal neighbors when covisibility is thin (early map);
+    ``alive`` (host mirror of kf_valid) keeps culled keyframes out of the
+    fallback. Returns (window list of EXACTLY n_window entries, NO_KF-padded
+    at the tail, and the matching fixed mask) — fixed shapes keep one
+    compiled BA for every window size. The oldest real KF is the gauge
+    anchor, mirroring the reference fixing observer KFs; padded slots are
+    held fixed too.
     """
     neigh, w = mapstate.top_covisible(m, jnp.int32(kf_id), n_window - 1, min_weight=10)
     neigh = [int(i) for i, ww in zip(np.asarray(neigh), np.asarray(w)) if i >= 0 and ww > 0]
+    if alive is not None:
+        neigh = [i for i in neigh if alive[i]]
     window = sorted(set([kf_id] + neigh))
     # temporal fallback
     want = min(n_window, int(m.n_kf) if n_kf is None else n_kf)
     i = kf_id - 1
     while len(window) < want and i >= 0:
-        if i not in window:
+        if i not in window and (alive is None or alive[i]):
             window.append(i)
         i -= 1
     window = sorted(window)[:n_window]
@@ -131,6 +136,8 @@ def run_local_ba(
     w_lba: float = 0.01,
     iters: int = 8,
     n_kf: int | None = None,   # host mirror of m.n_kf (avoids a device sync)
+    window: "list[int] | None" = None,   # precomputed select_window output
+    fixed: "list[bool] | None" = None,
 ) -> mapstate.MapState:
     """One LocalLVBundleAdjustment pass around ``kf_id``; returns updated map.
 
@@ -139,7 +146,8 @@ def run_local_ba(
     variable window lengths would otherwise compile a fresh ~minute-long
     XLA program per size.
     """
-    window, fixed = select_window(m, kf_id, n_window, n_kf=n_kf)
+    if window is None:
+        window, fixed = select_window(m, kf_id, n_window, n_kf=n_kf)
     P = len(window)  # == n_window always
     window_arr = jnp.asarray(window, jnp.int32)
     wvalid = window_arr != mapstate.NO_KF

@@ -149,9 +149,14 @@ def add_keyframe(
     return m, slot
 
 
-def _add_observations(m: MapState, kf_id, feat_lm, mask):
-    """Append (kf_id, feat_idx) into each landmark's observer table."""
+def _add_observations(m: MapState, kf_id, feat_lm, mask, feat_idx=None):
+    """Append (kf_id, feat_idx) into each landmark's observer table.
+
+    ``feat_idx`` defaults to the position in ``feat_lm`` (the add_keyframe
+    case where the array is feature-aligned)."""
     F = feat_lm.shape[0]
+    if feat_idx is None:
+        feat_idx = jnp.arange(F, dtype=jnp.int32)
     lm = jnp.clip(feat_lm, 0, m.L - 1)
     # next free slot per landmark = lm_n_obs (capped)
     slot = jnp.clip(m.lm_n_obs[lm], 0, m.Ko - 1)
@@ -162,7 +167,7 @@ def _add_observations(m: MapState, kf_id, feat_lm, mask):
         jnp.where(can, kf_id, m.lm_obs_kf[lm_scatter, slot])
     )
     obs_feat = m.lm_obs_feat.at[lm_scatter, slot].set(
-        jnp.where(can, jnp.arange(F, dtype=jnp.int32), m.lm_obs_feat[lm_scatter, slot])
+        jnp.where(can, feat_idx, m.lm_obs_feat[lm_scatter, slot])
     )
     n_obs = m.lm_n_obs.at[lm_scatter].add(can.astype(jnp.int32))
     return m._replace(lm_obs_kf=obs_kf, lm_obs_feat=obs_feat, lm_n_obs=n_obs)
@@ -185,27 +190,40 @@ def add_landmarks(
 ) -> tuple[MapState, jax.Array]:
     """Allocate new landmarks observed by (kf_id, feat_idx).
 
+    Slots are RECYCLED: culled/fused landmarks free their slot and the
+    allocator hands out the lowest-index invalid slots first, so fixed
+    pools survive arbitrarily long sequences (the reference's new/delete
+    churn; round 1 was append-only and overflowed at max_lm).
+
     Returns (map, lm_ids [B]) with NO_LM where not allocated.
     """
     B = feat_idx.shape[0]
     offset = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    lm_ids = m.n_lm + offset
-    can = valid & (lm_ids < m.L)
-    lm_ids = jnp.where(can, lm_ids, NO_LM)
-    slot = jnp.where(can, lm_ids, m.L - 1)
+    # stable argsort of the validity mask lists free slots first, ascending
+    free_order = jnp.argsort(m.lm_valid).astype(jnp.int32)
+    n_free = m.L - jnp.sum(m.lm_valid).astype(jnp.int32)
+    can = valid & (offset < n_free)
+    slot = free_order[jnp.clip(offset, 0, m.L - 1)]
+    lm_ids = jnp.where(can, slot, NO_LM)
+    slot = jnp.where(can, slot, m.L - 1)
 
+    # recycled slots must forget their previous observer table
+    obs_kf_row = jnp.where(
+        can[:, None] & (jnp.arange(m.Ko)[None, :] == 0),
+        kf_id, jnp.where(can[:, None], NO_KF, m.lm_obs_kf[slot]),
+    )
+    obs_feat_row = jnp.where(
+        can[:, None] & (jnp.arange(m.Ko)[None, :] == 0),
+        feat_idx[:, None], jnp.where(can[:, None], 0, m.lm_obs_feat[slot]),
+    )
     m = m._replace(
         lm_pos=m.lm_pos.at[slot].set(jnp.where(can[:, None], pos, m.lm_pos[slot])),
         lm_desc=m.lm_desc.at[slot].set(jnp.where(can[:, None], desc, m.lm_desc[slot])),
         lm_normal=m.lm_normal.at[slot].set(jnp.where(can[:, None], normal, m.lm_normal[slot])),
         lm_dist=m.lm_dist.at[slot].set(jnp.where(can[:, None], dist, m.lm_dist[slot])),
         lm_valid=m.lm_valid.at[slot].set(jnp.where(can, True, m.lm_valid[slot])),
-        lm_obs_kf=m.lm_obs_kf.at[slot, 0].set(
-            jnp.where(can, kf_id, m.lm_obs_kf[slot, 0])
-        ),
-        lm_obs_feat=m.lm_obs_feat.at[slot, 0].set(
-            jnp.where(can, feat_idx, m.lm_obs_feat[slot, 0])
-        ),
+        lm_obs_kf=m.lm_obs_kf.at[slot].set(obs_kf_row),
+        lm_obs_feat=m.lm_obs_feat.at[slot].set(obs_feat_row),
         lm_n_obs=m.lm_n_obs.at[slot].set(jnp.where(can, 1, m.lm_n_obs[slot])),
         lm_first_kf=m.lm_first_kf.at[slot].set(jnp.where(can, kf_id, m.lm_first_kf[slot])),
         lm_visible=m.lm_visible.at[slot].set(jnp.where(can, 1, m.lm_visible[slot])),
@@ -218,6 +236,28 @@ def add_landmarks(
     fslot = jnp.where(can, feat_idx, m.F)
     new_links = m.kf_feat_lm.at[kf_id, fslot].set(lm_ids, mode="drop")
     return m._replace(kf_feat_lm=new_links), lm_ids
+
+
+@jax.jit
+def link_observations(
+    m: MapState,
+    kf_id: jax.Array,
+    feat_idx: jax.Array,   # [B] feature indices in kf_id
+    lm_ids: jax.Array,     # [B] landmark ids to link (NO_LM skipped)
+    mask: jax.Array,       # [B]
+) -> MapState:
+    """Register (kf_id, feat_idx) as observers of existing landmarks: sets
+    the keyframe feature link and appends to the landmark observer tables
+    (MapPoint::AddObservation + KeyFrame::AddMapPoint). Used for the second
+    view of triangulated points and for Fuse's observation extension."""
+    can = mask & (lm_ids != NO_LM)
+    fslot = jnp.where(can, feat_idx, m.F)
+    links = m.kf_feat_lm.at[kf_id, fslot].set(
+        jnp.where(can, lm_ids, NO_LM), mode="drop"
+    )
+    m = m._replace(kf_feat_lm=links)
+    return _add_observations(m, kf_id, jnp.where(can, lm_ids, NO_LM), can,
+                             feat_idx=feat_idx)
 
 
 # ---------------------------------------------------------------------------
@@ -296,11 +336,12 @@ def remove_landmarks(m: MapState, kill: jax.Array) -> MapState:
     pointed = jnp.clip(m.kf_feat_lm, 0, m.L - 1)
     links_bad = (m.kf_feat_lm != NO_LM) & kill[pointed]
     kf_feat_lm = jnp.where(links_bad, NO_LM, m.kf_feat_lm)
-    return m._replace(lm_valid=lm_valid, kf_feat_lm=kf_feat_lm)
+    return m._replace(lm_valid=lm_valid, kf_feat_lm=kf_feat_lm,
+                      n_lm=jnp.sum(lm_valid).astype(jnp.int32))
 
 
 @jax.jit
-def update_landmark_stats(m: MapState, cam_center: jax.Array) -> MapState:
+def update_landmark_stats(m: MapState) -> MapState:
     """Refresh view normals from mean observer direction
     (MapPoint::UpdateNormalAndDepth, batched over all valid landmarks)."""
     kfc = jnp.clip(m.lm_obs_kf, 0, m.K - 1)

@@ -228,18 +228,40 @@ def track_step(
         T_cw=jnp.where(ok, res.T_cw, T_pred),
         feat_lm=jnp.where(ok, res.feat_lm, mapstate.NO_LM),
     )
-    m = update_found_counters(m, res.feat_lm)
+    m = update_found_counters(m, res.feat_lm, res.T_cw, cam, ok)
     vel_new = jnp.where(ok, res.T_cw @ lie.se3_inverse(T_cw_prev), velocity)
     return m, res, res.T_cw, vel_new
 
 
 @jax.jit
-def update_found_counters(m: mapstate.MapState, feat_lm: jax.Array) -> mapstate.MapState:
-    """IncreaseFound/IncreaseVisible bookkeeping after a tracked frame."""
+def update_found_counters(
+    m: mapstate.MapState,
+    feat_lm: jax.Array,
+    T_cw: jax.Array,
+    cam: cam_mod.Pinhole,
+    frame_ok: jax.Array,
+) -> mapstate.MapState:
+    """IncreaseFound / IncreaseVisible bookkeeping after a tracked frame.
+
+    ``visible`` counts every landmark whose frustum/scale gate passed at the
+    final pose (isInFrustum hits); ``found`` counts only the matched inliers
+    — their ratio is MapPointCulling's 0.25 rule. (Round 1 incremented both
+    for the same set, so the ratio was identically 1 and the rule dead.)"""
+    Xc = lie.se3_apply(T_cw, m.lm_pos)
+    uv = cam_mod.project(cam, Xc)
+    dist = jnp.linalg.norm(Xc, axis=-1)
+    in_view = (
+        m.lm_valid & (Xc[:, 2] > 0.1)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < 2 * cam.cx + 64)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < 2 * cam.cy + 64)
+        & (dist >= 0.5 * m.lm_dist[:, 0])
+        & (dist <= 1.5 * jnp.maximum(m.lm_dist[:, 1], 1e-3))
+        & frame_ok
+    )
+    visible = m.lm_visible + in_view.astype(jnp.int32)
     tracked = feat_lm != mapstate.NO_LM
     lm_c = jnp.where(tracked, feat_lm, m.L - 1)
     found = m.lm_found.at[lm_c].add(tracked.astype(jnp.int32))
-    visible = m.lm_visible.at[lm_c].add(tracked.astype(jnp.int32))
     return m._replace(lm_found=found, lm_visible=visible)
 
 
