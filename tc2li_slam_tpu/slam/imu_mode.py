@@ -19,6 +19,16 @@ import jax.numpy as jnp
 from ..estimation import imu as imu_mod
 from ..solver import inertial_ba
 
+# Minimum credible preintegration sigmas (unmodeled-error floor; see
+# ImuKfStore.set_kf). Information caps at 1/floor^2: 4e4 / 400 / 400.
+# Empirically the f32 LM + Schur pipeline stalls above ~1e5-scale blocks
+# mixed with O(1) visual terms (the quadratic model and the evaluated cost
+# disagree at the f32 noise level of the big blocks); at these floors a
+# window with exact factors converges to sub-cm from 2 cm perturbations.
+SIGMA_ROT_FLOOR = 5e-3   # [rad]
+SIGMA_VEL_FLOOR = 5e-2   # [m/s]
+SIGMA_POS_FLOOR = 5e-2   # [m]
+
 
 class ImuKfStore(NamedTuple):
     """Per-KF inertial data, indexed by keyframe id (factor i = KF i-1 -> i)."""
@@ -37,6 +47,10 @@ class ImuKfStore(NamedTuple):
     ba_lin: jax.Array  # [K, 3]
     vel: jax.Array     # [K, 3] velocity snapshot at the KF (visual world)
     has_factor: jax.Array  # [K] bool (false for KF 0)
+    bg: jax.Array      # [K, 3] per-KF gyro bias state (LVI-BA variables)
+    ba: jax.Array      # [K, 3] per-KF accel bias state
+    vel_opt: jax.Array  # [K] bool: velocity came from an optimizer (not the
+    #                     raw ESEKF snapshot) — inertial init / LVI-BA output
 
     @staticmethod
     def create(max_kf: int):
@@ -48,13 +62,30 @@ class ImuKfStore(NamedTuple):
             dt=jnp.zeros(max_kf), C_inv=jnp.zeros((max_kf, 9, 9)),
             bg_lin=z3, ba_lin=z3, vel=z3,
             has_factor=jnp.zeros(max_kf, bool),
+            bg=z3, ba=z3, vel_opt=jnp.zeros(max_kf, bool),
         )
 
-    def set_kf(self, kf_id, pre: imu_mod.Preintegrated | None, vel):
+    def set_kf(self, kf_id, pre: imu_mod.Preintegrated | None, vel,
+               bg=None, ba=None):
         s = self._replace(vel=self.vel.at[kf_id].set(vel))
+        if bg is not None:
+            s = s._replace(bg=s.bg.at[kf_id].set(bg))
+        if ba is not None:
+            s = s._replace(ba=s.ba.at[kf_id].set(ba))
         if pre is None:
             return s
-        C_inv = jnp.linalg.inv(pre.C[:9, :9] + 1e-8 * jnp.eye(9))
+        # Covariance FLOOR: a quiet IMU preintegrates to micrometer/microrad
+        # sigmas, i.e. information ~1e8 — far beyond both what systematic
+        # model error (time sync, extrinsics, discretization, fixed-pose
+        # anchors) supports and what f32 normal equations can balance
+        # against O(1) visual terms (g2o hid this in doubles). Flooring the
+        # per-component sigma keeps the factor honest and the solve stable.
+        C9 = pre.C[:9, :9] + jnp.diag(jnp.concatenate([
+            jnp.full(3, SIGMA_ROT_FLOOR ** 2),
+            jnp.full(3, SIGMA_VEL_FLOOR ** 2),
+            jnp.full(3, SIGMA_POS_FLOOR ** 2),
+        ]))
+        C_inv = jnp.linalg.inv(C9)
         return s._replace(
             dR=s.dR.at[kf_id].set(pre.dR),
             dV=s.dV.at[kf_id].set(pre.dV),

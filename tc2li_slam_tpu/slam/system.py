@@ -30,9 +30,9 @@ import jax.numpy as jnp
 from ..estimation import esekf, imu as imu_est
 from ..geom import camera as cam_mod, lie
 from ..ops import bow, pointcloud, voxel_map
-from . import (atlas as atlas_mod, config as cfg_mod, imu_mode, lio,
+from . import (atlas as atlas_mod, config as cfg_mod, culling, imu_mode, lio,
                local_mapping, loop_closing, mapstate, profiling,
-               relocalization, tracking, trajectory)
+               relocalization, tracking, trajectory, triangulation)
 from ..solver import inertial_ba
 
 
@@ -81,6 +81,7 @@ class System:
         self.last_T_cw = jnp.eye(4)
         self.ref_kf = -1
         self.n_kf_host = 0                # host mirror of map.n_kf (no sync)
+        self.kf_alive = [True] * t.max_kf  # host mirror of kf_valid
         self.ref_kf_tracked = 0
         self.frames_since_kf = 0
         self.frame_idx = -1
@@ -118,6 +119,10 @@ class System:
             self._imu_buf: list = []      # (gyro, acc, dts) since last KF
             self._imu_initialized = False
             self._last_filt_Twc = None    # LIO camera pose at previous frame
+            # staged visual-inertial initialization (InitializeIMU,
+            # LocalMapping.cc:1184-1445): becomes True once the gravity /
+            # bias / velocity bundle has been optimized on the keyframe map
+            self._vi_initialized = False
 
     # ------------------------------------------------------------------
     def track(self, img_l, img_r, t, scan=None, scan_valid=None,
@@ -353,36 +358,182 @@ class System:
             self._imu_buf = []
             # velocity snapshot in visual-world axes
             v_vis = lie.rotation(self.T_cb) @ self.filt.x.vel
-            self.imu_store = self.imu_store.set_kf(kf_id, pre, v_vis)
+            self.imu_store = self.imu_store.set_kf(
+                kf_id, pre, v_vis, bg=self.filt.x.bg, ba=self.filt.x.ba
+            )
 
         self.ref_kf = kf_id
         # reference-KF track baseline = features now linked to landmarks
         # (TrackedMapPoints semantics, not raw depth count)
         self.ref_kf_tracked = int(jnp.sum(self.map.kf_feat_lm[kf_id] != mapstate.NO_LM))
 
-        # loop closing (per KF, when place recognition is available)
-        if self.voc is not None and run_ba and kf_id > 25:
+        # loop closing (per KF, when place recognition is available and the
+        # config enables it — the parsed loopClosing flag is honored here)
+        if (self.voc is not None and self.cfg.loop_closing and run_ba
+                and kf_id > 25):
             self._try_close_loop(kf_id)
 
-        if (run_ba and self.use_imu and self.cfg.inertial_ba
-                and self.n_kf_host >= 3):
-            self._run_lvi_ba(kf_id)
-        elif run_ba and self.n_kf_host >= 3:
-            self.map = local_mapping.run_local_ba(
-                self.map, self.lidar_store, kf_id, self.cam, self.sigma2,
-                self.T_cl,
-                n_window=self.cfg.tracking.local_window,
-                balm_window=self.cfg.lidar.balm_window,
-                balm_voxel=self.cfg.lidar.balm_voxel,
-                balm_max_voxels=self.cfg.lidar.balm_max_voxels,
-                balm_min_points=self.cfg.lidar.balm_min_points,
-                w_lba=self.cfg.lidar.w_lba if self.lidar_enabled else 0.0,
-                iters=self.cfg.tracking.ba_iters,
-                n_kf=self.n_kf_host,
-            )
-            # adopt the refined pose of this KF as the current pose
-            self.T_cw = self.map.kf_T_cw[kf_id]
+        if run_ba and self.n_kf_host >= 3:
+            self._mapping_step(kf_id)
         return kf_id
+
+    # ------------------------------------------------------------------
+    def _mapping_step(self, kf_id: int):
+        """One deterministic LocalMapping pass for the new keyframe, in the
+        reference thread's order (LocalMapping::Run, LocalMapping.cc:70-295):
+        MapPointCulling -> CreateNewMapPoints -> SearchInNeighbors/Fuse ->
+        local (LVI-)BA -> KeyFrameCulling."""
+        t = self.cfg.tracking
+        window, fixed = local_mapping.select_window(
+            self.map, kf_id, t.local_window, n_kf=self.n_kf_host,
+            alive=self.kf_alive,
+        )
+
+        with self.timers.stage("cull_lm"):
+            self.map = culling.cull_landmarks(self.map, jnp.int32(kf_id))
+
+        if t.triangulate:
+            with self.timers.stage("triangulate"):
+                # nearest (most covisible / most recent) neighbors first
+                neighbors = sorted(
+                    (w for w in window if w not in (kf_id, mapstate.NO_KF)),
+                    reverse=True,
+                )
+                self.map = triangulation.create_new_map_points(
+                    self.map, kf_id, neighbors, self.cam, self.sigma2,
+                    self.scale_factors, max_pairs=t.tri_pairs,
+                )
+
+        with self.timers.stage("fuse"):
+            self.map = culling.fuse_into_keyframe(
+                self.map, jnp.int32(kf_id), self.cam, self.scale_factors
+            )
+            self.map = mapstate.update_landmark_stats(self.map)
+
+        with self.timers.stage("local_ba"):
+            use_lvi = self.use_imu and self.cfg.inertial_ba
+            if use_lvi and not self._vi_initialized:
+                # staged bootstrap: needs a few consecutive KFs with factors
+                if self.n_kf_host >= 5:
+                    self._initialize_imu(kf_id)
+                use_lvi = self._vi_initialized
+            if use_lvi:
+                self._run_lvi_ba(kf_id)
+            else:
+                self.map = local_mapping.run_local_ba(
+                    self.map, self.lidar_store, kf_id, self.cam, self.sigma2,
+                    self.T_cl,
+                    n_window=t.local_window,
+                    balm_window=self.cfg.lidar.balm_window,
+                    balm_voxel=self.cfg.lidar.balm_voxel,
+                    balm_max_voxels=self.cfg.lidar.balm_max_voxels,
+                    balm_min_points=self.cfg.lidar.balm_min_points,
+                    w_lba=self.cfg.lidar.w_lba if self.lidar_enabled else 0.0,
+                    iters=t.ba_iters,
+                    n_kf=self.n_kf_host,
+                    window=window, fixed=fixed,
+                )
+                # adopt the refined pose of this KF as the current pose
+                self.T_cw = self.map.kf_T_cw[kf_id]
+
+        if (t.cull_kf_every > 0 and kf_id % t.cull_kf_every == 0
+                and self.n_kf_host > t.local_window + 4):
+            with self.timers.stage("cull_kf"):
+                self._cull_keyframes(protect=set(window) | {0, kf_id})
+
+    # ------------------------------------------------------------------
+    def _cull_keyframes(self, protect: set[int]):
+        """KeyFrameCulling (LocalMapping.cc:913): invalidate the most
+        redundant keyframe (>= cull_kf_redundancy of its landmarks observed
+        by >= 4 other KFs). Host-driven so kf_alive stays mirrored; culled
+        slots keep their (frozen) pose so per-frame relative trajectory
+        entries stay recomposable — slots are NOT recycled."""
+        red = np.asarray(culling.keyframe_redundancy(self.map))
+        best, best_r = -1, self.cfg.tracking.cull_kf_redundancy
+        for k in range(self.n_kf_host):
+            if k in protect or not self.kf_alive[k]:
+                continue
+            if red[k] > best_r:
+                best, best_r = k, red[k]
+        if best < 0:
+            return
+        kill = jnp.zeros(self.map.K, bool).at[best].set(True)
+        self.map = culling.remove_keyframes(self.map, kill)
+        self.kf_alive[best] = False
+        if self.lidar_enabled and self.lidar_store is not None:
+            self.lidar_store = self.lidar_store._replace(
+                valid=self.lidar_store.valid.at[best].set(False)
+            )
+        if self.voc is not None:
+            self.kf_words = self.kf_words.at[best].set(-1)
+
+    # ------------------------------------------------------------------
+    def _kf_body_poses(self, window_arr):
+        """T_wb per window KF from the visual map (T_wb = inv(T_bc T_cw))."""
+        T_cw_win = self.map.kf_T_cw[window_arr]
+        return jax.vmap(
+            lambda T: lie.se3_inverse(T) @ lie.se3_inverse(self.T_bc)
+        )(T_cw_win)
+
+    def _seed_velocities(self, window_arr, T_wb_win):
+        """Per-KF velocity init: optimizer output where available, else a
+        finite difference of keyframe positions (the reference seeds its
+        inertial optimization the same way, LocalMapping::InitializeIMU —
+        pre-convergence ESEKF velocities are unreliable)."""
+        pos_w = T_wb_win[:, :3, 3]
+        dts = jnp.maximum(self.imu_store.dt[window_arr][1:], 1e-2)
+        v_mid = (pos_w[1:] - pos_w[:-1]) / dts[:, None]
+        v_fd = jnp.concatenate([v_mid[:1], v_mid], axis=0)
+        v_st = self.imu_store.vel[window_arr]
+        use_st = self.imu_store.vel_opt[window_arr]
+        return jnp.where(use_st[:, None], v_st, v_fd)
+
+    def _initialize_imu(self, kf_id: int):
+        """Staged visual-inertial initialization (InitializeIMU,
+        LocalMapping.cc:1184-1445): gravity bootstrap from preintegrated
+        velocity deltas -> InertialOptimization (gravity dir + shared biases
+        + per-KF velocities on FIXED poses) -> adopt gravity/biases/
+        velocities. Stereo fixes scale, so ApplyScaledRotation reduces to
+        adopting the refined gravity vector (the map frame is kept; our
+        lvi_ba takes gravity as data rather than assuming -z)."""
+        from ..solver import inertial_init
+        window = [k for k in range(max(0, kf_id - 19), kf_id + 1)
+                  if self.kf_alive[k]]
+        if len(window) < 4:
+            return
+        window_arr = jnp.asarray(window, jnp.int32)
+        fac = imu_mode.window_factors(self.imu_store, window)
+        n_fac = int(jnp.sum(fac.valid))
+        if n_fac < 3:
+            return
+        T_wb = self._kf_body_poses(window_arr)
+        # Gravity frame: the ESEKF static-init estimate when available (the
+        # LIO owns gravity — fixed visual poses would leak their correlated
+        # rotation errors into a re-estimated direction), else the
+        # preintegrated-velocity bootstrap.
+        if self._imu_initialized:
+            R_wg0 = inertial_init.gravity_to_rwg(self.gravity_vis)
+            fix_gravity = True
+        else:
+            R_wb = T_wb[:, :3, :3]
+            R_wg0 = inertial_init.estimate_gravity_direction(
+                R_wb, fac.dV, fac.valid
+            )
+            fix_gravity = False
+        vel0 = self._seed_velocities(window_arr, T_wb)
+        res = inertial_init.inertial_optimization(
+            T_wb, fac.dR, fac.dV, fac.dP, fac.JRg, fac.JVg, fac.JVa,
+            fac.JPg, fac.JPa, fac.dt, fac.C_inv, fac.bg_lin, fac.ba_lin,
+            fac.valid, R_wg0, vel0, fix_scale=True, fix_gravity=fix_gravity,
+        )
+        self.gravity_vis = res.R_wg @ jnp.asarray([0.0, 0.0, -9.81])
+        self.imu_store = self.imu_store._replace(
+            vel=self.imu_store.vel.at[window_arr].set(res.vel),
+            vel_opt=self.imu_store.vel_opt.at[window_arr].set(True),
+            bg=self.imu_store.bg.at[window_arr].set(res.bg[None, :]),
+            ba=self.imu_store.ba.at[window_arr].set(res.ba[None, :]),
+        )
+        self._vi_initialized = True
 
     # ------------------------------------------------------------------
     def _run_lvi_ba(self, kf_id: int):
@@ -400,36 +551,59 @@ class System:
         obs = BAObservations(pose_idx=win_pos, uv=uvr, inv_sigma2=inv_s2,
                              stereo=stereo, valid=ok)
         lm_active = jnp.any(ok, axis=1) & self.map.lm_valid
-        T_cw_win = self.map.kf_T_cw[window_arr]
-        T_wb_win = jax.vmap(lambda T: lie.se3_inverse(T) @ lie.se3_inverse(self.T_bc))(T_cw_win)
-        # velocity init from visual pose differences (the reference seeds its
-        # inertial optimization the same way, LocalMapping::InitializeIMU:
-        # the ESEKF's early velocity estimates are unreliable before
-        # convergence, a finite difference of keyframe positions is not)
-        pos_w = T_wb_win[:, :3, 3]
-        dts = jnp.maximum(self.imu_store.dt[window_arr][1:], 1e-2)
-        v_mid = (pos_w[1:] - pos_w[:-1]) / dts[:, None]
-        vel0 = jnp.concatenate([v_mid[:1], v_mid], axis=0)
+        T_wb_win = self._kf_body_poses(window_arr)
+        vel0 = self._seed_velocities(window_arr, T_wb_win)
+        # per-KF biases (estimated in the window; seeded by the inertial
+        # initialization, NOT pinned to the ESEKF values as in round 1)
+        bg0 = jnp.where(self.imu_store.vel_opt[window_arr][:, None],
+                        self.imu_store.bg[window_arr],
+                        jnp.tile(self.filt.x.bg, (P, 1)))
+        ba0 = jnp.where(self.imu_store.vel_opt[window_arr][:, None],
+                        self.imu_store.ba[window_arr],
+                        jnp.tile(self.filt.x.ba, (P, 1)))
         state0 = inertial_ba.InertialState(
-            T_wb=T_wb_win,
-            vel=vel0,
-            bg=jnp.tile(self.filt.x.bg, (P, 1)),
-            ba=jnp.tile(self.filt.x.ba, (P, 1)),
+            T_wb=T_wb_win, vel=vel0, bg=bg0, ba=ba0,
         )
         fixed = jnp.zeros(P, bool).at[0].set(True)
+        # BALM plane eigen-factor over the first <= balm_window poses
+        # (EdgeLidar in LocalLVIBA, OptimizerWithLidar.cc:697-727)
+        balm_kw = {}
+        if self.lidar_enabled and self.cfg.lidar.w_lba > 0:
+            from ..solver import balm as balm_mod
+            n_l = min(self.cfg.lidar.balm_window, P)
+            lidx = window_arr[:n_l]
+            T_wl_init = jax.vmap(
+                lambda T: lie.se3_inverse(T) @ self.T_cl
+            )(self.map.kf_T_cw[lidx])
+            clusters = balm_mod.build_clusters(
+                self.lidar_store.points[lidx], self.lidar_store.valid[lidx],
+                T_wl_init,
+                voxel_size=self.cfg.lidar.balm_voxel,
+                max_voxels=self.cfg.lidar.balm_max_voxels,
+                min_points=self.cfg.lidar.balm_min_points,
+            )
+            balm_kw = dict(
+                balm_clusters=clusters,
+                T_bl=self.T_bc @ self.T_cl,     # body-from-lidar
+                w_lidar=self.cfg.lidar.w_lba,
+                use_balm=True, n_lidar=n_l,
+            )
         res = inertial_ba.lvi_ba(
             self.cam, self.T_cb, state0, self.map.lm_pos, obs, fac,
             fixed, lm_active, self.gravity_vis,
-            iters=self.cfg.tracking.ba_iters,
+            iters=self.cfg.tracking.ba_iters, **balm_kw,
         )
-        # write back: T_cw = inv(T_wb @ T_bc); velocities
+        # write back: T_cw = inv(T_wb @ T_bc); velocities + biases
         T_cw_new = jax.vmap(lambda T: lie.se3_inverse(T @ self.T_bc))(res.state.T_wb)
         self.map = self.map._replace(
             kf_T_cw=self.map.kf_T_cw.at[window_arr].set(T_cw_new),
             lm_pos=jnp.where(lm_active[:, None], res.X_w, self.map.lm_pos),
         )
         self.imu_store = self.imu_store._replace(
-            vel=self.imu_store.vel.at[window_arr].set(res.state.vel)
+            vel=self.imu_store.vel.at[window_arr].set(res.state.vel),
+            vel_opt=self.imu_store.vel_opt.at[window_arr].set(True),
+            bg=self.imu_store.bg.at[window_arr].set(res.state.bg),
+            ba=self.imu_store.ba.at[window_arr].set(res.state.ba),
         )
         self.T_cw = self.map.kf_T_cw[kf_id]
 
@@ -516,7 +690,9 @@ class System:
             )
         if self.use_imu:
             self.imu_store = imu_mode.ImuKfStore.create(t.max_kf)
+            self._vi_initialized = False
         self.n_kf_host = 0
+        self.kf_alive = [True] * t.max_kf
         self.ref_kf = -1
         self.ref_kf_tracked = 0
         self.frames_since_kf = 0

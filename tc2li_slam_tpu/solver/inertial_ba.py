@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..geom import camera as cam_mod, lie
 from . import balm as balm_mod, factors
-from .lm import BAObservations
+from .lm import BAObservations, precond_solve as lm_precond_solve
 
 D = 15  # per-KF state dim
 POSE = slice(0, 6)   # (rho, phi)
@@ -139,8 +139,6 @@ def _imu_terms(s: InertialState, fac: ImuWindowFactors, gravity):
 
     w = fac.valid.astype(J1.dtype)
     info = outs.info * w[:, None, None]
-    J1i = jnp.einsum("fij,fik->fjk", info @ J1 * 0 + jnp.einsum("fij,fjk->fik", info, J1), J1) * 0
-    del J1i
     IJ1 = jnp.einsum("fij,fjk->fik", info, J1)
     IJ2 = jnp.einsum("fij,fjk->fik", info, J2)
     H11 = jnp.einsum("fji,fjk->fik", J1, IJ1)
@@ -278,7 +276,9 @@ def lvi_ba(
         Hd = Hd + lam * jnp.diag(jnp.abs(jnp.diag(Hd))) + 1e-8 * jnp.eye(PD, dtype=r.dtype)
         g = g * free[:, None]
 
-        dx = -jnp.linalg.solve(Hd, g.reshape(-1)).reshape(P, D)
+        # Jacobi-preconditioned solve: IMU information (O(1e6+)) and visual
+        # information (O(1)) share this f32 system (see lm.precond_solve).
+        dx = -lm_precond_solve(Hd, g.reshape(-1)).reshape(P, D)
         dx = dx * free[:, None]
 
         dp_per_obs = dx[pi][:, :, :6]  # pose part

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geom import lie
+from .lm import precond_solve
 
 G_MAG = 9.81
 _G_I = jnp.asarray([0.0, 0.0, -G_MAG])  # canonical gravity (z down)
@@ -57,6 +58,20 @@ def estimate_gravity_direction(
     return lie.so3_exp(axis * ang)
 
 
+def gravity_to_rwg(g_w: jax.Array) -> jax.Array:
+    """R_wg with g_w ~ R_wg @ (0, 0, -9.81) — wraps a known gravity vector
+    (e.g. the ESEKF static-init estimate) as the optimization's frame."""
+    dirG = g_w / jnp.maximum(jnp.linalg.norm(g_w), 1e-9)
+    gI = jnp.asarray([0.0, 0.0, -1.0])
+    v = jnp.cross(gI, dirG)
+    nv = jnp.linalg.norm(v)
+    cosg = jnp.clip(jnp.dot(gI, dirG), -1.0, 1.0)
+    ang = jnp.arccos(cosg)
+    axis = jnp.where(nv > 1e-9, v / jnp.maximum(nv, 1e-9),
+                     jnp.asarray([1.0, 0.0, 0.0]))
+    return lie.so3_exp(axis * ang)
+
+
 class InertialInitResult(NamedTuple):
     R_wg: jax.Array    # [3, 3] gravity direction (g_w = R_wg @ (0,0,-9.81))
     scale: jax.Array   # scalar
@@ -66,7 +81,7 @@ class InertialInitResult(NamedTuple):
     cost: jax.Array
 
 
-@partial(jax.jit, static_argnames=("iters", "fix_scale"))
+@partial(jax.jit, static_argnames=("iters", "fix_scale", "fix_gravity"))
 def inertial_optimization(
     T_wb: jax.Array,    # [K, 4, 4] fixed body poses
     dR: jax.Array,      # [K-1, 3, 3] preintegrated deltas (factor i: i->i+1)
@@ -84,9 +99,16 @@ def inertial_optimization(
     prior_g: float = 1e2,
     prior_a: float = 1e6,
     fix_scale: bool = True,
+    fix_gravity: bool = False,
     iters: int = 20,
 ) -> InertialInitResult:
-    """EdgeInertialGS bundle: gravity dir + (scale) + shared biases + velocities."""
+    """EdgeInertialGS bundle: gravity dir + (scale) + shared biases + velocities.
+
+    ``fix_gravity`` freezes the gravity tangent at ``R_wg0``: with a LiDAR-
+    inertial front end the ESEKF's static-init gravity is more accurate than
+    what fixed visual poses can support (their correlated rotation errors
+    leak ~1-2 degrees into the gravity estimate), so the system keeps the
+    LIO gravity and estimates only biases + velocities here."""
     K = T_wb.shape[0]
     R_wb = T_wb[:, :3, :3]
     p_wb = T_wb[:, :3, 3]
@@ -142,8 +164,14 @@ def inertial_optimization(
             # freeze the scale coordinate
             H = H.at[2, :].set(0.0).at[:, 2].set(0.0).at[2, 2].set(1.0)
             g = g.at[2].set(0.0)
+        if fix_gravity:
+            for c in (0, 1):
+                H = H.at[c, :].set(0.0).at[:, c].set(0.0).at[c, c].set(1.0)
+                g = g.at[c].set(0.0)
         Haug = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(n_x, dtype=dtype)
-        dx = -jnp.linalg.solve(Haug, g)
+        # Jacobi-preconditioned: whitened IMU residual Jacobians are O(1e3+)
+        # while gravity-tangent columns are O(1) — f32 needs the rescale.
+        dx = -precond_solve(Haug, g)
         x_new = x + dx
         cost_new = jnp.sum(residuals(x_new) ** 2)
         accept = cost_new < cost_prev

@@ -33,6 +33,21 @@ from ..geom import camera as cam_mod, lie
 from . import factors
 
 
+def precond_solve(H: jax.Array, g: jax.Array) -> jax.Array:
+    """Solve H x = g with Jacobi (diagonal) preconditioning.
+
+    The factor graph mixes visual information (O(1) px^-2) with IMU
+    preintegration information (O(1e6-1e8) for good IMUs) in one f32
+    Hessian; the reference hides this behind g2o's double precision. On TPU
+    f32 the raw solve loses the small blocks to roundoff — symmetric
+    diagonal scaling D^-1/2 H D^-1/2 restores O(1) conditioning for free.
+    """
+    d = jnp.sqrt(jnp.clip(jnp.abs(jnp.diag(H)), 1e-12, None))
+    Hn = H / (d[:, None] * d[None, :])
+    y = jnp.linalg.solve(Hn, g / d)
+    return y / d
+
+
 # ---------------------------------------------------------------------------
 # Pose-only optimization
 # ---------------------------------------------------------------------------
@@ -220,7 +235,7 @@ def local_ba(
             Sd = Sd + H_e * mask_d[:, None] * mask_d[None, :]
             gp_red = gp_red + (g_e * mask_d).reshape(P, 6)
 
-        delta_p = -jnp.linalg.solve(Sd, gp_red.reshape(-1)).reshape(P, 6)
+        delta_p = -precond_solve(Sd, gp_red.reshape(-1)).reshape(P, 6)
         delta_p = delta_p * free[:, None]
 
         # Back-substitute landmarks: δl = -Hll^-1 (gl + Σ_a B_a^T δp_a)

@@ -48,17 +48,59 @@ def test_e2e_imu_stereo_lidar():
 
 
 @pytest.mark.slow
-def test_e2e_imu_with_inertial_ba_stays_tracked():
-    """The experimental LVI-BA path must at least keep tracking alive."""
+def test_e2e_imu_with_inertial_ba():
+    """LVI-BA path: staged visual-inertial init runs, tracking stays alive,
+    ATE stays tight (the 18-frame window barely matures the init; the
+    longer-run benefit is covered by test_inertial_ba_matches_visual)."""
     cfg = dataclasses.replace(imu_cfg(), inertial_ba=True)
     frames, world, traj = syn.generate_sequence(
-        n_frames=14, cam=syn.SMALL, seed=3, n_scan=2048,
+        n_frames=18, cam=syn.SMALL, seed=3, n_scan=2048,
     )
     slam = sys_mod.System(cfg)
+    T_bc = syn.body_from_cam()
+    gt = []
     for fr in frames:
         slam.track(
             fr.img_l, fr.img_r, fr.t, fr.scan, fr.scan_valid,
             gyro=fr.gyro, acc=fr.acc, imu_dts=fr.imu_dts, imu_trel=fr.imu_trel,
             scan_times=fr.scan_times,
         )
+        gt.append(fr.T_wb_gt @ T_bc)
     assert slam.state == sys_mod.TrackingState.OK
+    assert slam._vi_initialized, "staged VI initialization never ran"
+    # per-KF biases were estimated (not pinned to the ESEKF values)
+    assert bool(slam.imu_store.vel_opt[int(slam.map.n_kf) - 1])
+    est = slam.trajectory_world_from_cam()
+    ate = syn.ate_rmse(est, np.stack(gt))
+    assert ate < 0.06, f"LVI-BA ATE {ate:.3f} m"
+
+
+@pytest.mark.slow
+def test_inertial_ba_matches_visual_long_run():
+    """Once the inertial init has matured (several seconds of data), the
+    LVI-BA trajectory must be at least on par with the pure visual-LiDAR
+    BA (it was 2-4x WORSE in round 1; the fix is the preintegration
+    information floor + Jacobi-preconditioned solves)."""
+    def run(inertial):
+        cfg = dataclasses.replace(imu_cfg(), inertial_ba=inertial)
+        frames, world, traj = syn.generate_sequence(
+            n_frames=50, cam=syn.SMALL, seed=3, n_scan=2048,
+        )
+        slam = sys_mod.System(cfg)
+        T_bc = syn.body_from_cam()
+        gt = []
+        for fr in frames:
+            slam.track(
+                fr.img_l, fr.img_r, fr.t, fr.scan, fr.scan_valid,
+                gyro=fr.gyro, acc=fr.acc, imu_dts=fr.imu_dts,
+                imu_trel=fr.imu_trel, scan_times=fr.scan_times,
+            )
+            gt.append(fr.T_wb_gt @ T_bc)
+        est = slam.trajectory_world_from_cam()
+        return syn.ate_rmse(est, np.stack(gt))
+
+    ate_off = run(False)
+    ate_on = run(True)
+    assert ate_on < ate_off * 1.15 + 0.005, (
+        f"inertial {ate_on:.4f} vs visual {ate_off:.4f}"
+    )
