@@ -194,3 +194,46 @@ def kb8_project_jac(cam: KannalaBrandt8, p_cam: jax.Array) -> jax.Array:
     flat = p_cam.reshape(-1, 3)
     J = jax.vmap(jax.jacfwd(lambda p: kb8_project(cam, p)))(flat)
     return J.reshape(p_cam.shape[:-1] + (2, 3))
+
+
+def kb8_triangulate_matches(
+    cam1: KannalaBrandt8,
+    cam2: KannalaBrandt8,
+    uv1: jax.Array,      # [N, 2] keypoints in view 1
+    uv2: jax.Array,      # [N, 2] matched keypoints in view 2
+    T_21: jax.Array,     # [4, 4] cam2-from-cam1 (the rig's Tlr^-1 for L->R)
+    sigma2_1: jax.Array,  # [N] per-kp squared sigma (view 1)
+    sigma2_2: jax.Array,  # [N]
+    min_parallax_cos: float = 0.9998,
+    chi2: float = 5.991,
+) -> tuple[jax.Array, jax.Array]:
+    """Fisheye dual-camera stereo triangulation
+    (``KannalaBrandt8::TriangulateMatches``, KannalaBrandt8.cpp): unproject
+    both views to rays, DLT-triangulate through the rig extrinsic, validate
+    parallax + positive depth + reprojection chi2 in BOTH fisheye images.
+
+    Returns (p_cam1 [N, 3], ok [N]) — 3D points in camera-1 coordinates.
+    The reference uses this instead of rectified row matching for fisheye
+    rigs (Frame's fisheye ctor path, Frame.cc:1064).
+    """
+    from . import triangulate as tri
+
+    r1 = kb8_unproject(cam1, uv1)               # [N, 3] z=1 rays (cam1)
+    r2 = kb8_unproject(cam2, uv2)               # [N, 3] (cam2)
+    # parallax between the rays expressed in a common frame
+    R21 = T_21[:3, :3]
+    r2_in1 = r2 @ R21                           # R21^T r2
+    cosp = jnp.sum(r1 * r2_in1, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2_in1, axis=-1), 1e-12
+    )
+    ok = cosp < min_parallax_cos
+
+    eye = jnp.eye(4, dtype=uv1.dtype)
+    X1 = tri.triangulate_dlt(r1[:, :2] / r1[:, 2:], r2[:, :2] / r2[:, 2:],
+                             eye, T_21)
+    X2 = X1 @ R21.T + T_21[:3, 3]
+    ok &= (X1[:, 2] > 1e-3) & (X2[:, 2] > 1e-3)
+    e1 = jnp.sum((kb8_project(cam1, X1) - uv1) ** 2, axis=-1)
+    e2 = jnp.sum((kb8_project(cam2, X2) - uv2) ** 2, axis=-1)
+    ok &= (e1 <= chi2 * sigma2_1) & (e2 <= chi2 * sigma2_2)
+    return X1, ok

@@ -141,6 +141,38 @@ class Trajectory:
         return self.w.copy(), R.T @ (-GRAVITY)
 
 
+class CircleTrajectory:
+    """Constant yaw rate + body-frame forward speed -> exact circle.
+
+    Closed-form kinematics (exact IMU incl. centripetal specific force);
+    used by the loop-closure tests: the platform revisits its start."""
+
+    def __init__(self, omega=0.5, speed=2.0, z0=1.6, y0=None):
+        self.w = np.asarray([0.0, 0.0, omega], np.float64)
+        self.v_body = np.asarray([speed, 0.0, 0.0], np.float64)
+        # default start: circle centered on y=0 (radius below the corridor
+        # half-width) — starting at y=0 would graze the wall at y = 2r
+        r = speed / max(abs(omega), 1e-9)
+        self.p0 = np.array([0.0, -r if y0 is None else y0, z0])
+
+    def pose(self, t):
+        R = so3_exp_np(self.w * t)
+        om = self.w[2]
+        s = self.v_body[0]
+        if abs(om) < 1e-9:
+            p = self.p0 + np.array([s * t, 0.0, 0.0])
+        else:
+            p = self.p0 + np.array(
+                [s / om * np.sin(om * t), s / om * (1.0 - np.cos(om * t)), 0.0]
+            )
+        return R, p
+
+    def imu(self, t):
+        R, _ = self.pose(t)
+        a_w = np.cross(self.w, R @ self.v_body)   # centripetal
+        return self.w.copy(), R.T @ (a_w - GRAVITY)
+
+
 # Camera mounted looking along body +x: camera frame z=forward, x=right, y=down.
 R_BC = np.array([
     [0.0, -1.0, 0.0],   # cam x = -body y (right)

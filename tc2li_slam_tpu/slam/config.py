@@ -68,6 +68,7 @@ class LidarConfig:
     max_iters: int = 3             # ESEKF NUM_MAX_ITERATIONS
     meas_cov: float = 0.001
     map_capacity: int = 1 << 19
+    insert_cap: int = 1 << 15      # max downsampled points inserted per scan
     kf_points: int = 2048          # stored surf points per keyframe
     balm_voxel: float = 1.0
     balm_max_voxels: int = 512
@@ -88,6 +89,7 @@ class TrackingConfig:
     max_obs: int = 12
     local_window: int = 8          # local BA covisible window
     ba_iters: int = 8
+    ba_active_landmarks: int = 8192  # compacted landmark budget per solve
     # mapping maintenance (LocalMapping::Run passes)
     triangulate: bool = True       # CreateNewMapPoints between covisible KFs
     tri_pairs: int = 3             # neighbor pairs triangulated per keyframe
@@ -111,6 +113,8 @@ class SystemConfig:
     # DBoW2-path loop closing (the reference ships it excised and its configs
     # set loopClosing: 0, but BASELINE targets the capability; see SURVEY §0)
     loop_closing: bool = False
+    loop_min_gap: int = 20   # min keyframe separation for a loop candidate
+    loop_min_kf: int = 25    # keyframes before detection starts
     profile: bool = False          # per-stage StageTimer (REGISTER_TIMES)
     # Run the temporal-window inertial BA (LocalLVIBA) instead of the
     # covisibility visual BA in IMU mode, after the staged visual-inertial

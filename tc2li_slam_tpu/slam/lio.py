@@ -40,6 +40,7 @@ class LioConfig(NamedTuple):
     det_range: float = 100.0
     blind: float = 4.0
     estimate_extrinsic: bool = False
+    work_cap: int = 1 << 15          # downsampled-point budget per scan
 
 
 def make_h_fn(m: voxel_map.VoxelMap, points_l: jax.Array, valid: jax.Array,
@@ -117,9 +118,12 @@ def lio_scan_step(
         scan_l, t_points, t_samples, R_traj, p_traj, filt.x.R_LI, filt.x.t_LI
     )
 
-    # 3. preprocess + voxel downsample in lidar frame
+    # 3. preprocess + voxel downsample in lidar frame; the downsample
+    # compacts valid voxels to the front, so truncating to work_cap bounds
+    # the kNN / update / insert cost independent of the raw pad size
     keep = pointcloud.preprocess(pts_end, t_points, scan_valid, blind=cfg.blind)
     pts_ds, ds_valid = pointcloud.voxel_downsample(pts_end, keep, cfg.scan_voxel)
+    pts_ds, ds_valid = pts_ds[: cfg.work_cap], ds_valid[: cfg.work_cap]
 
     # 4. iterated point-to-plane update
     h_fn = make_h_fn(m, pts_ds, ds_valid, cfg)

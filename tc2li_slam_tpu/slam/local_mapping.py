@@ -138,6 +138,7 @@ def run_local_ba(
     n_kf: int | None = None,   # host mirror of m.n_kf (avoids a device sync)
     window: "list[int] | None" = None,   # precomputed select_window output
     fixed: "list[bool] | None" = None,
+    max_active: int = 8192,    # landmark budget for the windowed solve
 ) -> mapstate.MapState:
     """One LocalLVBundleAdjustment pass around ``kf_id``; returns updated map.
 
@@ -156,11 +157,17 @@ def run_local_ba(
     win_pos, uvr, inv_sigma2, stereo, ok = mapstate.landmark_major_obs(
         m, window_arr, sigma2
     )
+    # landmarks active in this window, COMPACTED to a fixed budget: the
+    # solver's Schur cross-terms are O(L x Ko^2 x 36) floats — over the full
+    # 32k pool that is ~300 MB of HBM traffic per LM iteration, vs ~a tenth
+    # for the few thousand landmarks a 6-KF window actually observes.
+    lm_active_full = jnp.any(ok, axis=1) & m.lm_valid
+    sel = jnp.argsort(~lm_active_full)[:max_active].astype(jnp.int32)
     obs = lm_mod.BAObservations(
-        pose_idx=win_pos, uv=uvr, inv_sigma2=inv_sigma2, stereo=stereo, valid=ok
+        pose_idx=win_pos[sel], uv=uvr[sel], inv_sigma2=inv_sigma2[sel],
+        stereo=stereo[sel], valid=ok[sel],
     )
-    # landmarks active in this window
-    lm_active = jnp.any(ok, axis=1) & m.lm_valid
+    lm_active = lm_active_full[sel]
 
     # padded slots get identity poses (finite math; they are fixed + have no
     # observations, so they contribute nothing)
@@ -169,7 +176,7 @@ def run_local_ba(
         m.kf_T_cw[jnp.clip(window_arr, 0, m.K - 1)],
         jnp.eye(4, dtype=m.kf_T_cw.dtype),
     )
-    X0 = m.lm_pos
+    X0 = m.lm_pos[sel]
 
     extra_fn = None
     use_balm = lidar is not None and w_lba > 0
@@ -214,9 +221,11 @@ def run_local_ba(
         cam, T0, X0, obs, fixed_arr, lm_active, iters=iters, extra_fn=extra_fn
     )
 
-    # write back window poses + landmark positions; erase chi2 outlier obs
+    # write back window poses + (compacted) landmark positions
     scatter_idx = jnp.where(wvalid, window_arr, m.K)  # padded -> dropped
     new_T = m.kf_T_cw.at[scatter_idx].set(res.T_cw, mode="drop")
-    new_X = jnp.where(lm_active[:, None], res.X_w, m.lm_pos)
+    new_X = m.lm_pos.at[sel].set(
+        jnp.where(lm_active[:, None], res.X_w, m.lm_pos[sel])
+    )
     m = m._replace(kf_T_cw=new_T, lm_pos=new_X)
     return m

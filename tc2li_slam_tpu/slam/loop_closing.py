@@ -43,20 +43,60 @@ def detect_candidates(
     min_gap: int = 20,
     n_best: int = 3,
 ):
-    """BoW loop candidates for keyframe ``kf_id``, excluding the recent
-    temporal/covisible neighborhood (DetectLoopCandidates semantics)."""
+    """BoW loop candidates for keyframe ``kf_id``, with the reference's
+    full gating ladder (KeyFrameDatabase::DetectLoopCandidates,
+    KeyFrameDatabase.cc:742):
+
+    1. shared-word counts against every keyframe, excluding the recent
+       temporal neighborhood and the query's covisibility neighborhood;
+    2. min-common-words gate at 0.8 x the best count;
+    3. per-candidate score accumulated over its COVISIBILITY GROUP (the
+       candidate + its best covisible keyframes that are also candidates),
+       keeping the best keyframe of each group;
+    4. groups must reach 0.75 x the best accumulated score.
+    """
     query = kf_words[kf_id]
     wq = jnp.sort(query)
-    # weights folded to 1 (idf optional at this level)
     counts, scores = bow.shared_word_scores(
         wq, jnp.ones_like(wq, jnp.float32), kf_words, m.kf_valid
     )
-    # exclude near-in-time KFs and self
+    covis_w = mapstate.covisibility_weights(m, jnp.int32(kf_id))
+
     ids = np.arange(m.K)
     counts_np = np.asarray(counts).astype(np.float64)
-    counts_np[np.abs(ids - kf_id) < min_gap] = 0
-    order = np.argsort(-counts_np)[:n_best]
-    return [int(i) for i in order if counts_np[i] > 20]
+    scores_np = np.asarray(scores).astype(np.float64)
+    covis_np = np.asarray(covis_w)
+    # exclusions: self, temporal neighborhood, covisible neighborhood
+    excl = (np.abs(ids - kf_id) < min_gap) | (covis_np >= 15)
+    counts_np[excl] = 0
+    scores_np[excl] = 0.0
+    max_common = counts_np.max()
+    if max_common < 15:
+        return []
+    min_common = 0.8 * max_common
+    cand_mask = counts_np > min_common
+
+    # covisibility-group score accumulation (groups built on device once)
+    cand_ids = np.nonzero(cand_mask)[0]
+    best_acc = 0.0
+    groups = []  # (acc_score, best_kf_in_group)
+    for c in cand_ids:
+        nb, _ = mapstate.top_covisible(m, jnp.int32(int(c)), 10, min_weight=15)
+        group = [int(c)] + [int(i) for i in np.asarray(nb) if i >= 0]
+        acc, best_kf, best_s = 0.0, int(c), scores_np[c]
+        for gkf in group:
+            if not cand_mask[gkf] and gkf != int(c):
+                continue
+            acc += scores_np[gkf]
+            if scores_np[gkf] > best_s:
+                best_s, best_kf = scores_np[gkf], gkf
+        groups.append((acc, best_kf))
+        best_acc = max(best_acc, acc)
+    keep = sorted(
+        {best for acc, best in groups if acc >= 0.75 * best_acc},
+        key=lambda k: -scores_np[k],
+    )
+    return keep[:n_best]
 
 
 def verify_candidate(
@@ -119,11 +159,31 @@ def close_loop(
     # edges: temporal chain
     ii, jj, Sij, ww = [], [], [], []
     T = np.asarray(m.kf_T_cw)
+    alive = np.asarray(m.kf_valid)
     for i in range(n_kf - 1):
         ii.append(i)
         jj.append(i + 1)
         Sij.append(T[i] @ np.linalg.inv(T[i + 1]))
         ww.append(1.0)
+    # strong covisibility edges (the essential graph's second edge class,
+    # OptimizeEssentialGraph: covisible pairs with weight >= 100)
+    seen = set()
+    for i in range(n_kf):
+        if not alive[i]:
+            continue
+        nb, wgt = mapstate.top_covisible(m, jnp.int32(i), 8, min_weight=100)
+        for j, w_ij in zip(np.asarray(nb), np.asarray(wgt)):
+            j = int(j)
+            if j < 0 or j == i or abs(j - i) == 1 or not alive[j]:
+                continue
+            pair = (min(i, j), max(i, j))
+            if pair in seen:
+                continue
+            seen.add(pair)
+            ii.append(i)
+            jj.append(j)
+            Sij.append(T[i] @ np.linalg.inv(T[j]))
+            ww.append(1.0)
     # loop edge: S_i * S_j^-1 measured = S_cur_from_cand maps cand-cam->cur-cam
     ii.append(kf_id)
     jj.append(cand_id)

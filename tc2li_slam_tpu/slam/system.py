@@ -76,6 +76,8 @@ class System:
             self.lidar_store = None
 
         self.state = TrackingState.NOT_INITIALIZED
+        self.localization_only = False    # ActivateLocalizationMode (System.h)
+        self._last_t: float | None = None  # timestamp-jump guard
         self.T_cw = jnp.eye(4)            # current camera pose (world->cam)
         self.velocity = jnp.eye(4)        # T_cw_k @ inv(T_cw_{k-1})
         self.last_T_cw = jnp.eye(4)
@@ -135,6 +137,16 @@ class System:
         motion prediction for visual tracking, replacing the constant
         velocity model (PredictStateIMU's role)."""
         self.frame_idx += 1
+        # Timestamp-jump guard (Tracking.cc:1919-1946): a gap above 1 s (or
+        # a time loop-back, LidarFrontEnd.cpp:239-243) means the sensor
+        # stream broke — freeze the map into the atlas and restart tracking.
+        if self._last_t is not None and self.state != TrackingState.NOT_INITIALIZED:
+            dt_frame = float(t) - self._last_t
+            if dt_frame > 1.0 or dt_frame < 0.0:
+                self._create_map_in_atlas()
+                if self.use_imu:
+                    self._reset_imu()
+        self._last_t = float(t)
         with self.timers.stage("frame"):
             if self.use_imu and gyro is not None and scan is not None:
                 with self.timers.stage("lio"):
@@ -202,6 +214,18 @@ class System:
         )
         self.filt, self.vmap = res.filt, res.map
         self.vmap, _ = lio.maybe_recenter(self.vmap, self.filt.x.pos)
+        # Bad-IMU guard (mbBadImu, LocalMapping.cc:144-154): a diverged or
+        # non-finite filter state poisons every downstream consumer — reset
+        # the inertial stack and fall back to visual tracking until the
+        # static init re-converges.
+        st = self.filt.x
+        finite = all(
+            bool(jnp.all(jnp.isfinite(v)))
+            for v in (st.pos, st.vel, st.bg, st.ba)
+        )
+        if not finite or float(jnp.linalg.norm(st.vel)) > 60.0:
+            self._reset_imu()
+            return
         self._imu_buf.append((np.asarray(gyro), np.asarray(acc), np.asarray(dts)))
         # prediction: relative LIO camera motion composed onto the visual pose
         T_wb = lie.se3(self.filt.x.R, self.filt.x.pos)
@@ -210,6 +234,22 @@ class System:
             rel = lie.se3_inverse(T_wc_lio) @ self._last_filt_Twc
             self.velocity = rel  # T_ck<-c(k-1): prediction = rel @ T_cw_prev
         self._last_filt_Twc = T_wc_lio
+
+    # ------------------------------------------------------------------
+    def _reset_imu(self):
+        """Re-arm the inertial stack after a bad-IMU / stream-break event."""
+        self.filt = esekf.init_filter()
+        self._imu_initialized = False
+        self._vi_initialized = False
+        self._imu_buf = []
+        self._last_filt_Twc = None
+        self.velocity = jnp.eye(4)
+
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self, on: bool = True):
+        """Localization-only: track against the frozen map, create no
+        keyframes/landmarks (System::ActivateLocalizationMode)."""
+        self.localization_only = on
 
     # ------------------------------------------------------------------
     def _track_frame(self, frame, t, scan, scan_valid):
@@ -270,6 +310,10 @@ class System:
         if self.lidar_enabled and scan is not None and not self.use_imu:
             with self.timers.stage("lidar_update"):
                 self._lidar_frame_update(scan, scan_valid)
+
+        if self.localization_only:
+            self.frames_since_kf += 1
+            return
 
         if self._need_new_keyframe(n_inl, frame):
             with self.timers.stage("keyframe"):
@@ -370,7 +414,7 @@ class System:
         # loop closing (per KF, when place recognition is available and the
         # config enables it — the parsed loopClosing flag is honored here)
         if (self.voc is not None and self.cfg.loop_closing and run_ba
-                and kf_id > 25):
+                and kf_id > self.cfg.loop_min_kf):
             self._try_close_loop(kf_id)
 
         if run_ba and self.n_kf_host >= 3:
@@ -432,6 +476,7 @@ class System:
                     iters=t.ba_iters,
                     n_kf=self.n_kf_host,
                     window=window, fixed=fixed,
+                    max_active=t.ba_active_landmarks,
                 )
                 # adopt the refined pose of this KF as the current pose
                 self.T_cw = self.map.kf_T_cw[kf_id]
@@ -548,9 +593,15 @@ class System:
             self.map, window_arr, self.sigma2
         )
         from ..solver.lm import BAObservations
-        obs = BAObservations(pose_idx=win_pos, uv=uvr, inv_sigma2=inv_s2,
-                             stereo=stereo, valid=ok)
-        lm_active = jnp.any(ok, axis=1) & self.map.lm_valid
+        # compact to the active-landmark budget (see run_local_ba): the
+        # 15-dof LVI Schur cross-terms are even bigger than the visual ones
+        lm_active_full = jnp.any(ok, axis=1) & self.map.lm_valid
+        sel = jnp.argsort(~lm_active_full)[
+            : self.cfg.tracking.ba_active_landmarks].astype(jnp.int32)
+        obs = BAObservations(pose_idx=win_pos[sel], uv=uvr[sel],
+                             inv_sigma2=inv_s2[sel], stereo=stereo[sel],
+                             valid=ok[sel])
+        lm_active = lm_active_full[sel]
         T_wb_win = self._kf_body_poses(window_arr)
         vel0 = self._seed_velocities(window_arr, T_wb_win)
         # per-KF biases (estimated in the window; seeded by the inertial
@@ -589,15 +640,18 @@ class System:
                 use_balm=True, n_lidar=n_l,
             )
         res = inertial_ba.lvi_ba(
-            self.cam, self.T_cb, state0, self.map.lm_pos, obs, fac,
+            self.cam, self.T_cb, state0, self.map.lm_pos[sel], obs, fac,
             fixed, lm_active, self.gravity_vis,
             iters=self.cfg.tracking.ba_iters, **balm_kw,
         )
         # write back: T_cw = inv(T_wb @ T_bc); velocities + biases
         T_cw_new = jax.vmap(lambda T: lie.se3_inverse(T @ self.T_bc))(res.state.T_wb)
+        lm_pos_new = self.map.lm_pos.at[sel].set(
+            jnp.where(lm_active[:, None], res.X_w, self.map.lm_pos[sel])
+        )
         self.map = self.map._replace(
             kf_T_cw=self.map.kf_T_cw.at[window_arr].set(T_cw_new),
-            lm_pos=jnp.where(lm_active[:, None], res.X_w, self.map.lm_pos),
+            lm_pos=lm_pos_new,
         )
         self.imu_store = self.imu_store._replace(
             vel=self.imu_store.vel.at[window_arr].set(res.state.vel),
@@ -612,10 +666,14 @@ class System:
         """Loop detection + Sim3 verification + pose-graph correction
         (the LoopClosing thread's job, run synchronously per keyframe)."""
         cands = loop_closing.detect_candidates(
-            self.map, kf_id, self.kf_words, min_gap=20, n_best=3
+            self.map, kf_id, self.kf_words,
+            min_gap=self.cfg.loop_min_gap, n_best=3,
         )
         for cand in cands:
             self._rng_key, sub = jax.random.split(self._rng_key)
+            # stereo gives metric scale, so the relative transform is
+            # verified as SE3 (bFixScale=true for stereo in the reference's
+            # Sim3 machinery); mono would pass with_scale=True here
             ok, S, n_inl, _ = loop_closing.verify_candidate(
                 self.map, kf_id, cand, sub, with_scale=False,
             )
@@ -624,6 +682,7 @@ class System:
                 # current pose follows the corrected keyframe
                 self.T_cw = self.map.kf_T_cw[kf_id]
                 self.velocity = jnp.eye(4)
+                self.n_loops_closed = getattr(self, "n_loops_closed", 0) + 1
                 break
 
     # ------------------------------------------------------------------
@@ -634,6 +693,11 @@ class System:
             blind=self.cfg.lidar.blind,
         )
         ds, dsv = pointcloud.voxel_downsample(scan, keep, self.cfg.lidar.map_voxel)
+        # voxel_downsample compacts valid points to the front: truncating to
+        # insert_cap shrinks the merge batch ~4x (a 0.5 m-downsampled KITTI
+        # scan has ~15-30k voxels vs the 131k padded buffer)
+        cap = self.cfg.lidar.insert_cap
+        ds, dsv = ds[:cap], dsv[:cap]
         T_wl = lie.se3_inverse(self.T_cw) @ self.T_cl
         p_w = lie.se3_apply(T_wl, ds)
         self.vmap = voxel_map.insert(self.vmap, p_w, dsv)

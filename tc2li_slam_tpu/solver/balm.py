@@ -59,8 +59,56 @@ class VoxelClusters(NamedTuple):
     valid: jax.Array  # [V] voxel passes the plane test
 
 
+def _cluster_pass(key, pts_l, pts_w, kf, W, max_voxels, dtype):
+    """One voxelization pass: accumulate centered per-(voxel, KF) clusters.
+
+    ``key`` [WM] int32 (BIG = excluded). Returns (N, mean, Pc, centers,
+    slot_of_point [WM] in ORIGINAL point order; max_voxels = overflow)."""
+    BIG = jnp.iinfo(jnp.int32).max
+    WM = key.shape[0]
+    order = jnp.argsort(key)
+    key_s = key[order]
+    head = jnp.concatenate([jnp.array([True]), key_s[1:] != key_s[:-1]])
+    head &= key_s != BIG
+    vox_of_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1
+    vox_of_sorted = jnp.where(key_s != BIG, vox_of_sorted, max_voxels)
+    vox_of_sorted = jnp.clip(vox_of_sorted, 0, max_voxels)
+
+    pts_l_s = pts_l[order]
+    kf_s = kf[order]
+    wgt = (key_s != BIG).astype(dtype)
+    idx = (vox_of_sorted, kf_s)
+    N = jnp.zeros((max_voxels + 1, W), dtype).at[idx].add(wgt)
+    S = jnp.zeros((max_voxels + 1, W, 3), dtype).at[idx].add(
+        pts_l_s * wgt[:, None]
+    )
+    mean = S / jnp.maximum(N, 1.0)[..., None]
+    centered = (pts_l_s - mean[idx]) * wgt[:, None]
+    Pc = jnp.zeros((max_voxels + 1, W, 3, 3), dtype).at[idx].add(
+        jnp.einsum("mi,mj->mij", centered, centered)
+    )
+    Sw_sum = jnp.zeros((max_voxels + 1, 3), dtype).at[(vox_of_sorted,)].add(
+        pts_w[order] * wgt[:, None]
+    )[:max_voxels]
+    N, mean, Pc = N[:max_voxels], mean[:max_voxels], Pc[:max_voxels]
+    n_tot0 = jnp.maximum(jnp.sum(N, axis=1), 1.0)
+    centers = Sw_sum / n_tot0[:, None]
+    # slot per point in ORIGINAL order (inverse permutation scatter)
+    slot_orig = jnp.zeros(WM, jnp.int32).at[order].set(vox_of_sorted)
+    return N, mean, Pc, centers, slot_orig
+
+
+def _plane_test(N, mean, Pc, centers, T_wl, min_points, ratio):
+    c = VoxelClusters(N, mean, Pc, centers, jnp.ones(N.shape[0], bool))
+    cov, n_tot = _total_cov(c, T_wl)
+    evals = jnp.linalg.eigvalsh(cov)  # ascending
+    lam0, lam1 = evals[:, 0], evals[:, 1]
+    planar = (n_tot >= min_points) & (lam0 < ratio * jnp.maximum(lam1, 1e-9))
+    return planar, n_tot
+
+
 @partial(jax.jit, static_argnames=("voxel_size", "max_voxels", "min_points",
-                                   "plane_ratio"))
+                                   "plane_ratio", "child_ratio", "refine"))
 def build_clusters(
     points: jax.Array,   # [W, M, 3] surf points per window KF, LiDAR frame
     valid: jax.Array,    # [W, M]
@@ -68,74 +116,115 @@ def build_clusters(
     voxel_size: float = 1.0,
     max_voxels: int = 512,
     min_points: int = 15,
-    plane_ratio: float = 1.0 / 25.0,
+    plane_ratio: float = 1.0 / 36.0,
+    child_ratio: float = 1.0 / 25.0,
+    refine: bool = True,
 ) -> VoxelClusters:
-    """cut_voxel + plane test, vectorized.
+    """cut_voxel + adaptive two-level plane harvest, vectorized.
 
     Voxel membership is fixed using the *initial* poses (exactly the
     reference's behavior: ``cut_voxel`` hashes world coordinates once per
-    window build). The plane test keeps voxels with >= ``min_points`` and
-    λ_min/λ_mid < ``plane_ratio`` (judge_eigen with eigen_value_array[0]).
-    Returns clusters padded to ``max_voxels``.
+    window build). Root voxels that pass the plane test (>= ``min_points``
+    and λ_min/λ_mid < ``plane_ratio`` — judge_eigen with
+    eigen_value_array[0] = 1/36, bavoxel.cc:30-39) are harvested directly;
+    non-planar roots SPLIT once into half-size children tested with
+    ``child_ratio`` (eigen_value_array[1] = 1/25) — the fixed-depth
+    equivalent of ``OCTO_TREE_NODE::recut`` at the layer_limit=2 the
+    reference runs on KITTI. Planar roots + planar children are compacted
+    into ``max_voxels`` padded slots.
     """
     W, M, _ = points.shape
+    dtype = points.dtype
     p_w = jax.vmap(lie.se3_apply)(T_wl, points)           # [W, M, 3]
     pts = p_w.reshape(-1, 3)
+    pts_l = points.reshape(-1, 3)
     val = valid.reshape(-1)
     kf = jnp.repeat(jnp.arange(W, dtype=jnp.int32), M)
+    BIG = jnp.iinfo(jnp.int32).max
 
-    # Voxel keys on a 1024^3 grid centered at the window centroid.
+    # Root keys on a 512^3 grid centered at the window centroid (9 bits per
+    # axis so a child key = root*8 + octant still fits in int32).
     center = jnp.sum(jnp.where(val[:, None], pts, 0.0), axis=0) / jnp.maximum(
         jnp.sum(val), 1
     )
-    rel = jnp.floor((pts - center) / voxel_size).astype(jnp.int32) + 512
-    in_grid = jnp.all((rel >= 0) & (rel < 1024), axis=-1) & val
-    key = (rel[:, 0] << 20) | (rel[:, 1] << 10) | rel[:, 2]
-    BIG = jnp.iinfo(jnp.int32).max
-    key = jnp.where(in_grid, key, BIG)
+    rel_f = (pts - center) / voxel_size
+    rel = jnp.floor(rel_f).astype(jnp.int32) + 256
+    in_grid = jnp.all((rel >= 0) & (rel < 512), axis=-1) & val
+    key_root = (rel[:, 0] << 18) | (rel[:, 1] << 9) | rel[:, 2]
+    key_root = jnp.where(in_grid, key_root, BIG)
 
-    # Unique voxels via sort; take the first max_voxels distinct keys.
-    order = jnp.argsort(key)
-    key_s = key[order]
-    head = jnp.concatenate([jnp.array([True]), key_s[1:] != key_s[:-1]])
-    head &= key_s != BIG
-    vox_of_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1   # [WM]
-    vox_of_sorted = jnp.where(key_s != BIG, vox_of_sorted, max_voxels)
-    vox_of_sorted = jnp.clip(vox_of_sorted, 0, max_voxels)
-
-    # Two-pass centered scatter per (voxel, kf), in LiDAR frames for reuse.
-    pts_l_s = points.reshape(-1, 3)[order]
-    kf_s = kf[order]
-    val_s = key_s != BIG
-    idx = (vox_of_sorted, kf_s)
-    wgt = val_s.astype(points.dtype)
-    N = jnp.zeros((max_voxels + 1, W), points.dtype).at[idx].add(wgt)
-    S = jnp.zeros((max_voxels + 1, W, 3), points.dtype).at[idx].add(
-        pts_l_s * wgt[:, None]
+    N, mean, Pc, centers, slot_pt = _cluster_pass(
+        key_root, pts_l, pts, kf, W, max_voxels, dtype
     )
-    mean = S / jnp.maximum(N, 1.0)[..., None]
-    centered = (pts_l_s - mean[idx]) * wgt[:, None]
-    Pc = jnp.zeros((max_voxels + 1, W, 3, 3), points.dtype).at[idx].add(
-        jnp.einsum("mi,mj->mij", centered, centered)
+    planar_root, n_tot = _plane_test(
+        N, mean, Pc, centers, T_wl, min_points, plane_ratio
     )
-    N, mean, Pc = N[:max_voxels], mean[:max_voxels], Pc[:max_voxels]
 
-    # Per-voxel world anchor: mean of the voxel's points at the initial poses.
-    Sw_sum = jnp.zeros((max_voxels + 1, 3), points.dtype).at[
-        (vox_of_sorted,)
-    ].add(pts[order] * wgt[:, None])[:max_voxels]
-    n_tot0 = jnp.maximum(jnp.sum(N, axis=1), 1.0)
-    centers = Sw_sum / n_tot0[:, None]
+    if not refine:
+        return VoxelClusters(N, mean, Pc, centers, planar_root)
 
-    # Plane test on the total world-frame cluster at the initial poses.
-    clusters = VoxelClusters(N, mean, Pc, centers, jnp.ones(max_voxels, bool))
-    cov, n_tot = _total_cov(clusters, T_wl)
-    evals = jnp.linalg.eigvalsh(cov)  # ascending
-    lam0, lam1 = evals[:, 0], evals[:, 1]
-    planar = (n_tot >= min_points) & (
-        lam0 < plane_ratio * jnp.maximum(lam1, 1e-9)
+    # Split points of big-but-nonplanar roots into half-size children.
+    splittable = (~planar_root) & (n_tot >= min_points)
+    pt_split = (slot_pt < max_voxels) & splittable[jnp.clip(slot_pt, 0, max_voxels - 1)]
+    frac = rel_f - jnp.floor(rel_f)
+    octant = (
+        (frac[:, 0] >= 0.5).astype(jnp.int32)
+        | ((frac[:, 1] >= 0.5).astype(jnp.int32) << 1)
+        | ((frac[:, 2] >= 0.5).astype(jnp.int32) << 2)
     )
-    return clusters._replace(valid=planar)
+    key_child = jnp.where(
+        pt_split & (key_root != BIG), key_root * 8 + octant, BIG
+    )
+    Nc, meanc, Pcc, centersc, _ = _cluster_pass(
+        key_child, pts_l, pts, kf, W, max_voxels, dtype
+    )
+    planar_child, _ = _plane_test(
+        Nc, meanc, Pcc, centersc, T_wl, min_points, child_ratio
+    )
+
+    # Harvest: planar roots first, then planar children; compact to capacity.
+    N2 = jnp.concatenate([N, Nc], axis=0)
+    mean2 = jnp.concatenate([mean, meanc], axis=0)
+    Pc2 = jnp.concatenate([Pc, Pcc], axis=0)
+    cen2 = jnp.concatenate([centers, centersc], axis=0)
+    val2 = jnp.concatenate([planar_root, planar_child], axis=0)
+    sel = jnp.argsort(~val2)[:max_voxels]
+    return VoxelClusters(
+        N2[sel], mean2[sel], Pc2[sel], cen2[sel], val2[sel]
+    )
+
+
+@partial(jax.jit, static_argnames=("n_marg",))
+def marginalize(c: VoxelClusters, T_wl_marg: jax.Array, n_marg: int) -> VoxelClusters:
+    """Fold the first ``n_marg`` window columns into ONE fixed prior column
+    (``OCTO_TREE_NODE::to_margi``, bavoxel.h:604-637): their moments are
+    rigidly transformed to world at the given (final) poses and summed; the
+    prior re-enters as column 0 whose "pose" is identity — the caller keeps
+    that pose fixed, so the eigen cost sees the old scans as a constant.
+    Exact: rigid transforms of second moments lose nothing.
+
+    Returns clusters with W' = W - n_marg + 1 columns; pair with
+    ``T_wl' = concat([eye, T_wl[n_marg:]])``.
+    """
+    cm = c._replace(N=c.N[:, :n_marg], mean=c.mean[:, :n_marg],
+                    Pc=c.Pc[:, :n_marg])
+    S_q, P_q = _transform_moments(cm, T_wl_marg[:n_marg])
+    N_m = jnp.sum(cm.N, axis=1)                         # [V]
+    S_m = jnp.sum(S_q, axis=1)                          # [V, 3] voxel-centered
+    P_m = jnp.sum(P_q, axis=1)                          # [V, 3, 3]
+    n = jnp.maximum(N_m, 1.0)
+    mu = S_m / n[:, None]
+    Pc_m = P_m - N_m[:, None, None] * jnp.einsum("vi,vj->vij", mu, mu)
+    # store the UN-centered world centroid: the identity "pose" of the prior
+    # column re-subtracts the voxel anchor inside _transform_moments
+    mean_col = mu + c.center
+    return VoxelClusters(
+        N=jnp.concatenate([N_m[:, None], c.N[:, n_marg:]], axis=1),
+        mean=jnp.concatenate([mean_col[:, None, :], c.mean[:, n_marg:]], axis=1),
+        Pc=jnp.concatenate([Pc_m[:, None, :, :], c.Pc[:, n_marg:]], axis=1),
+        center=c.center,
+        valid=c.valid,
+    )
 
 
 def _transform_moments(c: "VoxelClusters", T_wl: jax.Array):

@@ -80,3 +80,53 @@ def test_parallax_cos():
     c2 = jnp.asarray([10.0, 0.0, 0.0], dtype=jnp.float32)
     cosang = float(triangulate.parallax_cos(p, c1, c2)[0])
     assert abs(cosang - np.cos(np.pi / 4)) < 1e-5
+
+
+def test_kb8_project_jac_matches_numeric(rng):
+    cam = camera.KannalaBrandt8.create(
+        280.0, 280.0, 320.0, 240.0, -0.01, 0.02, -0.005, 0.001
+    )
+    p = np.stack([
+        rng.uniform(-2, 2, 40), rng.uniform(-2, 2, 40), rng.uniform(0.5, 6, 40)
+    ], -1).astype(np.float32)
+    J = np.asarray(camera.kb8_project_jac(cam, jnp.asarray(p)))
+    eps = 1e-3
+    for k in range(3):
+        dp = np.zeros(3, np.float32)
+        dp[k] = eps
+        up = np.asarray(camera.kb8_project(cam, jnp.asarray(p + dp)))
+        um = np.asarray(camera.kb8_project(cam, jnp.asarray(p - dp)))
+        num = (up - um) / (2 * eps)
+        np.testing.assert_allclose(J[:, :, k], num, rtol=5e-2, atol=5e-2)
+
+
+def test_kb8_triangulate_matches(rng):
+    """Fisheye dual-camera stereo (TriangulateMatches parity): recover 3D
+    points through the rig extrinsic with validation gates."""
+    cam = camera.KannalaBrandt8.create(
+        280.0, 280.0, 320.0, 240.0, -0.01, 0.02, -0.005, 0.001
+    )
+    N = 60
+    X1 = np.stack([
+        rng.uniform(-3, 3, N), rng.uniform(-2, 2, N), rng.uniform(2, 10, N)
+    ], -1).astype(np.float32)
+    T_21 = np.eye(4, dtype=np.float32)
+    T_21[0, 3] = -0.2   # 20 cm rig baseline
+    X2 = X1 @ T_21[:3, :3].T + T_21[:3, 3]
+    uv1 = camera.kb8_project(cam, jnp.asarray(X1))
+    uv2 = camera.kb8_project(cam, jnp.asarray(X2))
+    s2 = jnp.ones(N)
+    X_est, ok = camera.kb8_triangulate_matches(
+        cam, cam, uv1, uv2, jnp.asarray(T_21), s2, s2
+    )
+    ok = np.asarray(ok)
+    assert ok.sum() > 0.9 * N, f"only {ok.sum()}/{N} triangulated"
+    err = np.linalg.norm(np.asarray(X_est)[ok] - X1[ok], axis=-1)
+    assert np.median(err) < 0.02, np.median(err)
+    # a mismatched pair (wrong correspondence) must be rejected
+    uv2_bad = np.asarray(uv2).copy()
+    uv2_bad[:10] = uv2_bad[10:20]
+    _, ok_bad = camera.kb8_triangulate_matches(
+        cam, cam, uv1, jnp.asarray(uv2_bad), jnp.asarray(T_21), s2, s2
+    )
+    assert np.asarray(ok_bad)[:10].sum() <= 2

@@ -217,3 +217,53 @@ def test_balm_window_optimization_recovers_poses(rng):
         assert np.abs(err).max() < 0.5 * np.abs(before).max() + 2e-3, (
             f"pose {w}: err {np.abs(err).max():.4f} vs init {np.abs(before).max():.4f}"
         )
+
+
+def test_balm_two_level_refinement_harvests_more(rng):
+    """A scene with small planar facets inside non-planar 1 m root voxels:
+    the layer-2 split (recut, bavoxel.h:568-602) must harvest child planes
+    the root-only pass discards."""
+    # staircase: many 0.5 m steps — each 1 m voxel contains an L-shaped
+    # (non-planar) point set whose 0.5 m children are planar
+    W = 3
+    pts_all, val_all = [], []
+    n_per = 2400
+    for w in range(W):
+        r = np.random.default_rng(w)
+        xs = r.uniform(0, 8, n_per)
+        ys = r.uniform(0, 4, n_per)
+        step = np.floor(xs * 2.0) * 0.5      # 0.5 m treads
+        half = (xs * 2.0 - np.floor(xs * 2.0)) > 0.5
+        # tread (horizontal) or riser (vertical) surfaces
+        z = np.where(half, step + 0.5 * r.uniform(0, 1, n_per), step)
+        x = np.where(half, np.floor(xs * 2.0) * 0.5 + 0.5, xs)
+        pts = np.stack([x, ys, z], -1) + 0.003 * r.standard_normal((n_per, 3))
+        pts_all.append(pts.astype(np.float32))
+        val_all.append(np.ones(n_per, bool))
+    pts = jnp.asarray(np.stack(pts_all))
+    val = jnp.asarray(np.stack(val_all))
+    T = jnp.tile(jnp.eye(4), (W, 1, 1))
+
+    c_root = balm.build_clusters(pts, val, T, voxel_size=1.0, max_voxels=512,
+                                 refine=False)
+    c_two = balm.build_clusters(pts, val, T, voxel_size=1.0, max_voxels=512,
+                                refine=True)
+    n_root = int(c_root.valid.sum())
+    n_two = int(c_two.valid.sum())
+    assert n_two > 1.5 * max(n_root, 1) + 2, (n_root, n_two)
+
+
+def test_balm_marginalize_exact(rng):
+    """Folding old KFs into the fixed prior column is exact at the
+    marginalization poses (to_margi, bavoxel.h:604-637)."""
+    pts, valid, T_gt = make_balm_window(rng, W=4, noise=0.005)
+    c = balm.build_clusters(pts, valid, T_gt, max_voxels=256)
+    cost_full = float(balm.eigen_cost(c, T_gt))
+    cm = balm.marginalize(c, T_gt, n_marg=2)
+    T_m = jnp.concatenate([jnp.eye(4)[None], T_gt[2:]], axis=0)
+    cost_marg = float(balm.eigen_cost(cm, T_m))
+    assert abs(cost_full - cost_marg) < 1e-3 * max(abs(cost_full), 1.0), (
+        cost_full, cost_marg)
+    # and the quadratic in the remaining free poses stays finite/symmetric
+    q = balm.quadratic(cm, T_m)
+    assert np.isfinite(np.asarray(q.H)).all()
