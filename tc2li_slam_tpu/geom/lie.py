@@ -224,6 +224,21 @@ def translation(T: jax.Array) -> jax.Array:
     return T[..., :3, 3]
 
 
+def se3_orthonormalize(T: jax.Array) -> jax.Array:
+    """Project the rotation block back onto SO(3) (nearest in Frobenius).
+
+    Long chains of f32 SE3 compositions (dead-reckoning on the motion model,
+    velocity updates) drift off the manifold; the drift compounds
+    EXPONENTIALLY once |det R| != 1. One 3x3 SVD per call keeps the chain
+    bounded."""
+    R = T[..., :3, :3]
+    U, _, Vt = jnp.linalg.svd(R)
+    det = jnp.linalg.det(U @ Vt)
+    S = jnp.ones(T.shape[:-2] + (3,), T.dtype).at[..., 2].set(det)
+    Rn = (U * S[..., None, :]) @ Vt
+    return T.at[..., :3, :3].set(Rn)
+
+
 def se3_inverse(T: jax.Array) -> jax.Array:
     R = rotation(T)
     t = translation(T)

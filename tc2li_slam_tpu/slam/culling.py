@@ -27,7 +27,10 @@ def cull_landmarks(m: mapstate.MapState, current_kf: jax.Array) -> mapstate.MapS
     """MapPointCulling: found/visible < 0.25, or <=2 observations once the
     map has moved >=2 keyframes past the landmark's birth."""
     ratio = m.lm_found.astype(jnp.float32) / jnp.maximum(m.lm_visible, 1)
-    old_enough = (current_kf - m.lm_first_kf) >= 2
+    # obs rule fires after 3 keyframes (the reference's per-KF Fuse grows
+    # observation counts faster than our single-KF fuse pass — one extra
+    # grace keyframe compensates; rotation-heavy segments starve otherwise)
+    old_enough = (current_kf - m.lm_first_kf) >= 3
     kill = m.lm_valid & (
         (ratio < 0.25) | (old_enough & (m.lm_n_obs <= 2))
     )

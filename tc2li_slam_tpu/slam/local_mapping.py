@@ -139,6 +139,7 @@ def run_local_ba(
     window: "list[int] | None" = None,   # precomputed select_window output
     fixed: "list[bool] | None" = None,
     max_active: int = 8192,    # landmark budget for the windowed solve
+    mesh=None,                 # jax.sharding.Mesh -> distributed BA path
 ) -> mapstate.MapState:
     """One LocalLVBundleAdjustment pass around ``kf_id``; returns updated map.
 
@@ -217,15 +218,29 @@ def run_local_ba(
             w_lba=jnp.asarray(w_lba, jnp.float32),
         )
 
-    res = lm_mod.local_ba(
-        cam, T0, X0, obs, fixed_arr, lm_active, iters=iters, extra_fn=extra_fn
-    )
+    if mesh is not None:
+        # Distributed path: landmarks/observations shard over the mesh, the
+        # reduced camera system is psum'd over ICI, the BALM quadratic
+        # enters replicated (parallel/dist_ba). Same problem, same windows.
+        from ..parallel import dist_ba
+        Xs, obs_s, act_s = dist_ba.shard_problem(mesh, X0, obs, lm_active)
+        T_cw_new, X_new_s, _ = dist_ba.optimize(
+            mesh, cam, T0, Xs, obs_s, act_s, fixed_arr, iters=iters,
+            extra_fn=extra_fn,
+        )
+        res_T, res_X = T_cw_new, X_new_s
+    else:
+        res = lm_mod.local_ba(
+            cam, T0, X0, obs, fixed_arr, lm_active, iters=iters,
+            extra_fn=extra_fn,
+        )
+        res_T, res_X = res.T_cw, res.X_w
 
     # write back window poses + (compacted) landmark positions
     scatter_idx = jnp.where(wvalid, window_arr, m.K)  # padded -> dropped
-    new_T = m.kf_T_cw.at[scatter_idx].set(res.T_cw, mode="drop")
+    new_T = m.kf_T_cw.at[scatter_idx].set(res_T, mode="drop")
     new_X = m.lm_pos.at[sel].set(
-        jnp.where(lm_active[:, None], res.X_w, m.lm_pos[sel])
+        jnp.where(lm_active[:, None], res_X, m.lm_pos[sel])
     )
     m = m._replace(kf_T_cw=new_T, lm_pos=new_X)
     return m

@@ -46,9 +46,13 @@ class TrackingState:
 class System:
     """Stereo(+LiDAR) SLAM system (System::TrackStereoLidar equivalent)."""
 
-    def __init__(self, cfg: cfg_mod.SystemConfig, voc: "bow.Vocabulary | None" = None):
+    def __init__(self, cfg: cfg_mod.SystemConfig,
+                 voc: "bow.Vocabulary | None" = None, mesh=None):
         self.cfg = cfg
         self.voc = voc  # place-recognition vocabulary (reloc + loop closing)
+        # device mesh: when present, local BA runs through the sharded
+        # distributed solver (parallel.dist_ba) instead of the single-chip one
+        self.mesh = mesh
         c = cfg.camera
         self.cam = cam_mod.Pinhole.create(c.fx, c.fy, c.cx, c.cy, bf=c.bf)
         self.scale_factors = jnp.asarray(cfg.orb.scale_factors(), jnp.float32)
@@ -266,7 +270,20 @@ class System:
                 jnp.asarray(self.cfg.tracking.match_radius_narrow, jnp.float32),
             )
         with self.timers.stage("sync"):
-            n_inl = int(res.n_inliers)  # the frame's single device->host sync
+            n_inl = int(res.n_inliers)  # the frame's device->host sync
+
+        if n_inl < max(self.cfg.tracking.min_inliers, 10):
+            # motion-model pass came back weak: run the window-free global
+            # re-acquisition + refinement (TrackReferenceKeyFrame's role) —
+            # gated on the host so the common path never pays for it
+            with self.timers.stage("track_recover"):
+                new_map, res, T_new, vel_new = tracking.track_step_recover(
+                    self.map, frame, self.T_cw, T_pred, self.velocity, sub,
+                    self.cam, self.scale_factors, self.sigma2,
+                    jnp.asarray(self.cfg.tracking.match_radius_narrow,
+                                jnp.float32),
+                )
+                n_inl = int(res.n_inliers)
 
         if n_inl < 10 and self.voc is not None:
             # relocalization (Tracking.cc:3478): BoW candidates + PnP RANSAC
@@ -452,13 +469,22 @@ class System:
             self.map = culling.fuse_into_keyframe(
                 self.map, jnp.int32(kf_id), self.cam, self.scale_factors
             )
+            # also fuse into the best covisible neighbor (SearchInNeighbors
+            # runs BOTH directions in the reference; the second target makes
+            # observation counts grow fast enough for MapPointCulling)
+            nb = next((w for w in window
+                       if w not in (kf_id, mapstate.NO_KF)), None)
+            if nb is not None:
+                self.map = culling.fuse_into_keyframe(
+                    self.map, jnp.int32(nb), self.cam, self.scale_factors
+                )
             self.map = mapstate.update_landmark_stats(self.map)
 
         with self.timers.stage("local_ba"):
             use_lvi = self.use_imu and self.cfg.inertial_ba
             if use_lvi and not self._vi_initialized:
                 # staged bootstrap: needs a few consecutive KFs with factors
-                if self.n_kf_host >= 5:
+                if self.n_kf_host >= 4:
                     self._initialize_imu(kf_id)
                 use_lvi = self._vi_initialized
             if use_lvi:
@@ -477,6 +503,7 @@ class System:
                     n_kf=self.n_kf_host,
                     window=window, fixed=fixed,
                     max_active=t.ba_active_landmarks,
+                    mesh=self.mesh,
                 )
                 # adopt the refined pose of this KF as the current pose
                 self.T_cw = self.map.kf_T_cw[kf_id]

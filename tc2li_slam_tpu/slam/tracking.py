@@ -201,27 +201,54 @@ def track_step(
     sigma2: jax.Array,
     radius: jax.Array,
 ) -> tuple[mapstate.MapState, TrackResult, jax.Array, jax.Array]:
-    """One fused tracking step: motion-model pass + global re-acquisition
-    pass + refinement pass, best-of selection, found-counter bookkeeping and
-    motion-model update — all on device so the host syncs ONCE per frame
-    (on ``n_inliers``) instead of after every pass.
+    """One fused tracking step: the motion-model guided pass
+    (TrackWithMotionModel + TrackLocalMap fused, Tracking.cc:2737,2836) with
+    found-counter bookkeeping and motion-model update on device.
 
-    The three passes mirror TrackWithMotionModel / TrackReferenceKeyFrame /
-    TrackLocalMap (Tracking.cc:2737,2603,2836); the reference sequences them
-    with early exits, but each is cheap as a batched kernel and running all
-    three unconditionally keeps the step branch-free for XLA.
+    The expensive window-free global re-acquisition (TrackReferenceKeyFrame's
+    role) is NOT run here: the host gates it on this pass's inlier count
+    (``track_step_recover``), mirroring the reference's early-exit ladder —
+    running it unconditionally costs ~2/3 of the per-frame budget for a pass
+    that only matters on prediction failure.
 
-    Returns (map', best TrackResult, T_cw', velocity'). When tracking fails
+    Returns (map', TrackResult, T_cw', velocity'). When tracking fails
     (<10 inliers) T_cw' is the motion-model prediction (dead reckoning) and
     the velocity/counters are left unchanged.
     """
-    T_pred = velocity @ T_cw_prev
+    T_pred = lie.se3_orthonormalize(velocity @ T_cw_prev)
     res = track_frame(m, frame, T_pred, cam, scale_factors, sigma2, radius)
+    ok = res.n_inliers >= 10
+    res = res._replace(
+        T_cw=jnp.where(ok, res.T_cw, T_pred),
+        feat_lm=jnp.where(ok, res.feat_lm, mapstate.NO_LM),
+    )
+    m = update_found_counters(m, res.feat_lm, res.T_cw, cam, ok)
+    vel_new = jnp.where(ok, res.T_cw @ lie.se3_inverse(T_cw_prev), velocity)
+    return m, res, res.T_cw, vel_new
+
+
+@jax.jit
+def track_step_recover(
+    m: mapstate.MapState,
+    frame: Frame,
+    T_cw_prev: jax.Array,
+    T_pred: jax.Array,
+    velocity: jax.Array,
+    key: jax.Array,
+    cam: cam_mod.Pinhole,
+    scale_factors: jax.Array,
+    sigma2: jax.Array,
+    radius: jax.Array,
+) -> tuple[mapstate.MapState, TrackResult, jax.Array, jax.Array]:
+    """Failure-path re-acquisition: global descriptor matching + PnP RANSAC
+    (initialization-free) followed by a guided refinement pass, best-of
+    selected on device. Called by the host only when the motion-model pass
+    came back weak — TrackReferenceKeyFrame / reacquisition semantics."""
     res_g = track_frame_global(m, frame, key, cam, sigma2)
-    res = _select(res_g.n_inliers > res.n_inliers, res_g, res)
-    res2 = track_frame(m, frame, res.T_cw, cam, scale_factors, sigma2, radius)
+    res2 = track_frame(m, frame, res_g.T_cw, cam, scale_factors, sigma2, radius)
     res = _select(
-        (res.n_inliers >= 10) & (res2.n_inliers >= res.n_inliers), res2, res
+        (res_g.n_inliers >= 10) & (res2.n_inliers >= res_g.n_inliers),
+        res2, res_g,
     )
     ok = res.n_inliers >= 10
     res = res._replace(

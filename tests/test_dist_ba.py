@@ -125,3 +125,35 @@ def test_dist_ba_with_balm_extra(rng):
                                 extra_fn=extra_fn)
     err1 = np.linalg.norm(np.asarray(T1[1])[:3, 3] - T_gt[1][:3, 3])
     assert err1 < 2e-3, f"prior-pinned pose off by {err1}"
+
+
+@pytest.mark.slow
+def test_system_ba_through_mesh(rng):
+    """System(mesh=...) routes local BA through the distributed solver; the
+    e2e trajectory stays equivalent to the single-device run."""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "tests"))
+    from tests.test_e2e import small_cfg, run_sequence
+    from tc2li_slam_tpu.io import synthetic as syn
+    from tc2li_slam_tpu.slam import system as sys_mod
+
+    frames, world, traj = syn.generate_sequence(
+        n_frames=14, cam=syn.SMALL, seed=0, n_scan=2048,
+    )
+    T_bc = syn.body_from_cam()
+
+    def run(mesh):
+        slam = sys_mod.System(small_cfg(True), mesh=mesh)
+        gt = []
+        for fr in frames:
+            slam.track(fr.img_l, fr.img_r, fr.t, fr.scan, fr.scan_valid)
+            gt.append(fr.T_wb_gt @ T_bc)
+        est = slam.trajectory_world_from_cam()
+        return syn.ate_rmse(est, np.stack(gt))
+
+    mesh = dist_ba.make_mesh(jax.devices()[:8])
+    ate_mesh = run(mesh)
+    ate_single = run(None)
+    assert ate_mesh < 0.2, ate_mesh
+    assert ate_mesh < ate_single * 1.5 + 0.02, (ate_mesh, ate_single)
