@@ -19,15 +19,33 @@ from __future__ import annotations
 
 import contextlib
 import math
+import os
 import time
 from collections import defaultdict
 
 
+def _device_flush():
+    """Block until all previously enqueued device work has finished.
+
+    TPU executes the per-device stream in order, so blocking on a fresh
+    trivial computation flushes everything dispatched before it."""
+    import jax
+    import jax.numpy as jnp
+
+    jnp.zeros(()).block_until_ready()
+
+
 class StageTimer:
-    """Accumulates per-stage durations; prints a PrintTimeStats-style report."""
+    """Accumulates per-stage durations; prints a PrintTimeStats-style report.
+
+    With ``TC2LI_SYNC_STAGES=1`` every stage exit blocks until the device
+    queue drains, so stage timings become honest per-stage DEVICE times
+    (at the cost of killing async pipelining — profiling mode only).
+    """
 
     def __init__(self, enabled: bool = True):
         self.enabled = enabled
+        self.sync = bool(os.environ.get("TC2LI_SYNC_STAGES"))
         self.samples: dict[str, list[float]] = defaultdict(list)
 
     @contextlib.contextmanager
@@ -35,10 +53,14 @@ class StageTimer:
         if not self.enabled:
             yield
             return
+        if self.sync:
+            _device_flush()
         t0 = time.perf_counter()
         try:
             yield
         finally:
+            if self.sync:
+                _device_flush()
             self.samples[name].append(time.perf_counter() - t0)
 
     def add(self, name: str, seconds: float):
