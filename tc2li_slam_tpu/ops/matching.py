@@ -63,13 +63,17 @@ def _masked_best2(dist: jax.Array, mask: jax.Array):
     """Per-row best and second-best over masked columns.
 
     Returns (best_idx [N], best [N], second [N]); masked-out = BIG.
+    min/argmin reductions instead of ``lax.top_k``: top_k over a [32k, 2000]
+    matrix costs ~30 ms on TPU (sort-based) where three plain reductions
+    cost ~3 ms — measured, tools/prof_frame.py.
     """
     BIG = jnp.int32(1 << 20)
     d = jnp.where(mask, dist, BIG)
-    neg2, idx2 = jax.lax.top_k(-d, 2)
-    best = -neg2[:, 0]
-    second = -neg2[:, 1]
-    return idx2[:, 0], best, second
+    best = jnp.min(d, axis=1)
+    idx = jnp.argmin(d, axis=1)
+    d2 = jnp.where(jnp.arange(d.shape[1])[None, :] == idx[:, None], BIG, d)
+    second = jnp.min(d2, axis=1)
+    return idx, best, second
 
 
 def match_descriptors(
@@ -91,9 +95,8 @@ def match_descriptors(
         ok &= best.astype(jnp.float32) <= ratio * second.astype(jnp.float32)
     if mutual:
         BIG = jnp.int32(1 << 20)
-        dT = jnp.where(full_mask, dist, BIG).T
-        _, bi2 = jax.lax.top_k(-dT, 1)
-        back = bi2[:, 0]  # best row for each column
+        dm = jnp.where(full_mask, dist, BIG)
+        back = jnp.argmin(dm, axis=0)  # best row for each column
         ok &= back[idx] == jnp.arange(d1.shape[0])
     return idx, best, ok
 

@@ -82,6 +82,12 @@ def _gauss_kernel7(sigma: float = 2.0) -> np.ndarray:
 
 _GK7 = _gauss_kernel7()
 
+# Max |pixel offset| any rotated BRIEF tap can reach (rotation preserves the
+# tap radius; +0.5 covers the round()). Bounds the descriptor patch size.
+_PATTERN_RADIUS = int(np.ceil(np.sqrt(
+    np.maximum(PATTERN[:, 0] ** 2 + PATTERN[:, 1] ** 2,
+               PATTERN[:, 2] ** 2 + PATTERN[:, 3] ** 2).max()) + 0.5))
+
 
 class Keypoints(NamedTuple):
     """Padded keypoint set for one image."""
@@ -220,14 +226,20 @@ def select_topk_grid(score: jax.Array, k: int, cell: int = 16) -> tuple[jax.Arra
 # ---------------------------------------------------------------------------
 
 def _gather_patches(img: jax.Array, rows: jax.Array, cols: jax.Array, half: int) -> jax.Array:
-    """Gather [K, 2h+1, 2h+1] patches centered at integer (rows, cols)."""
+    """Gather [K, 2h+1, 2h+1] patches centered at integer (rows, cols).
+
+    vmap(dynamic_slice) over an edge-padded image instead of one big
+    advanced-index gather: measured >2x faster on TPU (tools/prof_frame.py),
+    and edge padding reproduces the per-tap clip semantics exactly (clipping
+    an out-of-range index picks the border pixel, as does edge replication).
+    """
     size = 2 * half + 1
-    dr = jnp.arange(-half, half + 1)
-    rr = rows[:, None, None] + dr[None, :, None]
-    cc = cols[:, None, None] + dr[None, None, :]
-    rr = jnp.clip(rr, 0, img.shape[0] - 1)
-    cc = jnp.clip(cc, 0, img.shape[1] - 1)
-    return img[rr, cc]
+    pad = jnp.pad(img, half, mode="edge")
+
+    def one(r, c):
+        return jax.lax.dynamic_slice(pad, (r, c), (size, size))
+
+    return jax.vmap(one)(rows, cols)
 
 
 def compute_orientation(img: jax.Array, rows: jax.Array, cols: jax.Array) -> jax.Array:
@@ -266,9 +278,14 @@ def compute_descriptors(
     # cv2: row offset = round(x*b + y*a), col offset = round(x*a - y*b)
     roff = jnp.round(px[None] * b + py[None] * a).astype(jnp.int32)  # [K, 512]
     coff = jnp.round(px[None] * a - py[None] * b).astype(jnp.int32)
-    rr = jnp.clip(rows[:, None] + roff, 0, img_blur.shape[0] - 1)
-    cc = jnp.clip(cols[:, None] + coff, 0, img_blur.shape[1] - 1)
-    vals = img_blur[rr, cc]  # [K, 512]
+    # Rotated taps stay inside a fixed radius: gather one patch per keypoint
+    # (fast vmap(dynamic_slice)), then index taps WITHIN the small patch —
+    # the full-image [K, 512] advanced-index gather is the slow path on TPU.
+    R = _PATTERN_RADIUS
+    S = 2 * R + 1
+    patches = _gather_patches(img_blur, rows, cols, R)      # [K, S, S]
+    tap = (jnp.clip(roff, -R, R) + R) * S + (jnp.clip(coff, -R, R) + R)
+    vals = jnp.take_along_axis(patches.reshape(-1, S * S), tap, axis=1)
     t0 = vals[:, :256]
     t1 = vals[:, 256:]
     bits = (t0 < t1).astype(jnp.uint32)  # [K, 256]

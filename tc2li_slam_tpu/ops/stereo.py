@@ -77,17 +77,26 @@ def subpixel_refine(
     cl = jnp.round(kpl_uv[:, 0]).astype(jnp.int32)
     cr = jnp.round(ur0).astype(jnp.int32)
 
-    dr = jnp.arange(-SAD_W, SAD_W + 1)
-    # left patch [N, 11, 11]
-    rr = jnp.clip(r[:, None, None] + dr[None, :, None], 0, img_l.shape[0] - 1)
-    ccl = jnp.clip(cl[:, None, None] + dr[None, None, :], 0, img_l.shape[1] - 1)
-    patch_l = img_l[rr, ccl].astype(jnp.float32)
-    patch_l = patch_l - patch_l[:, SAD_W : SAD_W + 1, SAD_W : SAD_W + 1]
+    # vmap(dynamic_slice) over edge-padded images — measured much faster on
+    # TPU than the [N, 11, ...] advanced-index gathers, and edge padding
+    # reproduces index clipping exactly (border replication == clamp).
+    W_L = SAD_W + SAD_L
+    pad_l = jnp.pad(img_l.astype(jnp.float32), SAD_W, mode="edge")
+    pad_r = jnp.pad(img_r.astype(jnp.float32), W_L, mode="edge")
 
-    # right strip [N, 11, 11 + 2*SAD_L]
-    ds = jnp.arange(-SAD_W - SAD_L, SAD_W + SAD_L + 1)
-    ccr = jnp.clip(cr[:, None, None] + ds[None, None, :], 0, img_r.shape[1] - 1)
-    strip = img_r[rr[:, :, :1], ccr].astype(jnp.float32)  # [N, 11, 21]
+    def _patch_l(rr_, cc_):
+        return jax.lax.dynamic_slice(
+            pad_l, (rr_, cc_), (2 * SAD_W + 1, 2 * SAD_W + 1))
+
+    def _strip_r(rr_, cc_):
+        return jax.lax.dynamic_slice(
+            pad_r, (rr_ + SAD_L, cc_), (2 * SAD_W + 1, 2 * W_L + 1))
+
+    # pad shifts coords by +half, slice wants the top-left corner: the two
+    # cancel so the center coord itself is the start index
+    patch_l = jax.vmap(_patch_l)(r, cl)                   # [N, 11, 11]
+    patch_l = patch_l - patch_l[:, SAD_W : SAD_W + 1, SAD_W : SAD_W + 1]
+    strip = jax.vmap(_strip_r)(r, cr)                     # [N, 11, 21]
 
     sads = []
     for off in range(2 * SAD_L + 1):

