@@ -65,17 +65,32 @@ def main():
         world=world,
         traj=syn.Trajectory(w_body=(0, 0, 0.03), v_world=(1.5, 0.1, 0.0)),
     )
+    # int16-quantize scans (loader-side, like the native prefetcher would):
+    # halves the tunnel H2D bytes at 4 mm resolution
+    quant = cfg.lidar.scan_quant
+    scans_q = [np.clip(np.round(fr.scan / quant), -32767, 32767).astype(np.int16)
+               for fr in frames]
     t_gen = time.perf_counter() - t_gen0
 
     slam = sys_mod.System(cfg)
     # warmup: compile everything (first frames hit all code paths incl. BA)
-    for fr in frames[:n_warm]:
-        slam.track(fr.img_l, fr.img_r, fr.t, fr.scan, fr.scan_valid)
+    for fr, sq in zip(frames[:n_warm], scans_q[:n_warm]):
+        slam.track(fr.img_l, fr.img_r, fr.t, sq, fr.scan_valid)
     slam.timers.reset()  # stage stats = steady state only
 
+    # steady state: prefetch frame k+1's sensor arrays (async H2D) before
+    # processing frame k, so the tunnel transfer overlaps device compute —
+    # the reference's sensor-callback threads do the same (SURVEY §2.4)
     t0 = time.perf_counter()
-    for fr in frames[n_warm:]:
-        slam.track(fr.img_l, fr.img_r, fr.t, fr.scan, fr.scan_valid)
+    staged = slam.prefetch(frames[n_warm].img_l, frames[n_warm].img_r,
+                           scans_q[n_warm], frames[n_warm].scan_valid)
+    for i in range(n_warm, len(frames)):
+        fr, cur = frames[i], staged
+        if i + 1 < len(frames):
+            staged = slam.prefetch(frames[i + 1].img_l, frames[i + 1].img_r,
+                                   scans_q[i + 1], frames[i + 1].scan_valid)
+        slam.track(fr.img_l, fr.img_r, fr.t, scans_q[i], fr.scan_valid,
+                   staged=cur)
     dt = time.perf_counter() - t0
 
     fps = n_frames / dt

@@ -69,6 +69,7 @@ class LidarConfig:
     meas_cov: float = 0.001
     map_capacity: int = 1 << 19
     insert_cap: int = 1 << 15      # max downsampled points inserted per scan
+    scan_quant: float = 0.004      # meters/LSB for int16-quantized scan input
     kf_points: int = 2048          # stored surf points per keyframe
     balm_voxel: float = 1.0
     balm_max_voxels: int = 512

@@ -157,6 +157,35 @@ def maybe_recenter(m: voxel_map.VoxelMap, pos: jax.Array, margin: float = 150.0)
     return m2, need
 
 
+@partial(jax.jit, static_argnames=("insert_cap",))
+def camera_map_update(
+    m: voxel_map.VoxelMap,
+    scan: jax.Array,        # [N, 3] raw scan, LiDAR frame (padded)
+    scan_valid: jax.Array,  # [N]
+    T_cw: jax.Array,        # [4, 4] tracked camera pose
+    T_cl: jax.Array,        # [4, 4] camera-from-lidar extrinsic
+    blind,
+    map_voxel,
+    insert_cap: int = 1 << 15,
+) -> voxel_map.VoxelMap:
+    """STEREO_LIDAR per-frame map maintenance as ONE device program:
+    preprocess -> voxel downsample -> world transform -> insert -> recenter
+    (UpdateMap -> map_incremental, Tracking.cc:1603 / LidarFrontEnd.cpp:1075).
+
+    Folding the chain into one jit saves ~4 per-execution floors (~2.5 ms
+    each through the tunnel) and lets the caller dispatch it against the
+    un-synced tracked pose so it overlaps the frame's host fetch."""
+    keep = pointcloud.preprocess(
+        scan, jnp.zeros(scan.shape[0], scan.dtype), scan_valid, blind=blind)
+    ds, dsv = pointcloud.voxel_downsample(scan, keep, map_voxel)
+    ds, dsv = ds[:insert_cap], dsv[:insert_cap]
+    T_wl = lie.se3_inverse(T_cw) @ T_cl
+    p_w = lie.se3_apply(T_wl, ds)
+    m = voxel_map.insert(m, p_w, dsv)
+    m, _ = maybe_recenter(m, lie.translation(T_wl))
+    return m
+
+
 # ---------------------------------------------------------------------------
 # Camera-pose-driven mode (STEREO_LIDAR): plane-feature selection, no EKF
 # ---------------------------------------------------------------------------

@@ -131,9 +131,33 @@ class System:
             self._vi_initialized = False
 
     # ------------------------------------------------------------------
+    def prefetch(self, img_l, img_r, scan=None, scan_valid=None):
+        """Stage the NEXT frame's sensor arrays on device (async H2D).
+
+        Through a tunneled TPU the host->device transfer of a stereo pair +
+        scan costs tens of ms; issuing it while the CURRENT frame's device
+        work drains hides most of that. Returns a token for ``track``'s
+        ``staged=`` argument. The pipelining the reference gets from its
+        sensor-callback threads (camera_lidar_inertial.cc:139-145)."""
+        bundle = [img_l, img_r] + ([scan, scan_valid] if scan is not None else [])
+        dev = jax.device_put(bundle)
+        return {"img_l": dev[0], "img_r": dev[1],
+                "scan": dev[2] if scan is not None else None,
+                "scan_valid": dev[3] if scan is not None else None}
+
+    # ------------------------------------------------------------------
+    def _scan_to_device(self, scan):
+        """Scans may arrive int16-quantized (x quant meters) to halve the
+        tunnel H2D cost; de-quantize on device."""
+        s = jnp.asarray(scan)
+        if s.dtype == jnp.int16:
+            s = s.astype(jnp.float32) * self.cfg.lidar.scan_quant
+        return s
+
+    # ------------------------------------------------------------------
     def track(self, img_l, img_r, t, scan=None, scan_valid=None,
               gyro=None, acc=None, imu_dts=None, imu_trel=None,
-              scan_times=None) -> np.ndarray:
+              scan_times=None, staged=None) -> np.ndarray:
         """Process one stereo(+LiDAR[+IMU]) frame; returns T_cw [4, 4].
 
         In IMU mode the full FAST-LIO2 scan step (ESEKF predict + iterated
@@ -141,6 +165,10 @@ class System:
         motion prediction for visual tracking, replacing the constant
         velocity model (PredictStateIMU's role)."""
         self.frame_idx += 1
+        if staged is not None:
+            img_l, img_r = staged["img_l"], staged["img_r"]
+            if staged.get("scan") is not None:
+                scan, scan_valid = staged["scan"], staged["scan_valid"]
         # Timestamp-jump guard (Tracking.cc:1919-1946): a gap above 1 s (or
         # a time loop-back, LidarFrontEnd.cpp:239-243) means the sensor
         # stream broke — freeze the map into the atlas and restart tracking.
@@ -151,6 +179,8 @@ class System:
                 if self.use_imu:
                     self._reset_imu()
         self._last_t = float(t)
+        if scan is not None:
+            scan = self._scan_to_device(scan)
         with self.timers.stage("frame"):
             if self.use_imu and gyro is not None and scan is not None:
                 with self.timers.stage("lio"):
@@ -269,10 +299,34 @@ class System:
                 self.scale_factors, self.sigma2,
                 jnp.asarray(self.cfg.tracking.match_radius_narrow, jnp.float32),
             )
+            # request the decision scalar early: the copy depends only on
+            # track_step's output, so it rides back while the map update
+            # below still executes
+            try:
+                res.n_inliers.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+
+        # Dispatch the LiDAR map update BEFORE the host sync, against the
+        # un-synced tracked pose (UpdateMap, Tracking.cc:1603): it needs no
+        # host decision, and on the (rare) tracking failure we roll the map
+        # object back — a host-side pointer swap, no device work.
+        vmap_before = self.vmap
+        if self.lidar_enabled and scan is not None and not self.use_imu:
+            with self.timers.stage("lidar_update"):
+                self.vmap = lio.camera_map_update(
+                    self.vmap, scan, jnp.asarray(scan_valid), res.T_cw,
+                    self.T_cl, jnp.float32(self.cfg.lidar.blind),
+                    jnp.float32(self.cfg.lidar.map_voxel),
+                    insert_cap=self.cfg.lidar.insert_cap,
+                )
+
         with self.timers.stage("sync"):
             n_inl = int(res.n_inliers)  # the frame's device->host sync
 
         if n_inl < max(self.cfg.tracking.min_inliers, 10):
+            # the optimistic map update above used a failed pose: roll back
+            self.vmap = vmap_before
             # motion-model pass came back weak: run the window-free global
             # re-acquisition + refinement (TrackReferenceKeyFrame's role) —
             # gated on the host so the common path never pays for it
@@ -321,12 +375,18 @@ class System:
         self.velocity = vel_new
         self.map = new_map
 
-        # LiDAR: insert this frame's scan into the voxel map at the tracked
-        # pose (UpdateMap -> map_incremental, Tracking.cc:1603). In IMU mode
-        # the ESEKF scan step already inserted it (map_incremental there).
-        if self.lidar_enabled and scan is not None and not self.use_imu:
+        # LiDAR map update: normally already dispatched pre-sync (above); on
+        # a recovery path the pre-sync insert used the failed pose — redo it
+        # at the recovered pose (the rollback restored the old map object).
+        if (self.vmap is vmap_before and self.lidar_enabled
+                and scan is not None and not self.use_imu):
             with self.timers.stage("lidar_update"):
-                self._lidar_frame_update(scan, scan_valid)
+                self.vmap = lio.camera_map_update(
+                    self.vmap, scan, jnp.asarray(scan_valid), self.T_cw,
+                    self.T_cl, jnp.float32(self.cfg.lidar.blind),
+                    jnp.float32(self.cfg.lidar.map_voxel),
+                    insert_cap=self.cfg.lidar.insert_cap,
+                )
 
         if self.localization_only:
             self.frames_since_kf += 1
@@ -720,25 +780,6 @@ class System:
                 self.velocity = jnp.eye(4)
                 self.n_loops_closed = getattr(self, "n_loops_closed", 0) + 1
                 break
-
-    # ------------------------------------------------------------------
-    def _lidar_frame_update(self, scan, scan_valid):
-        scan = jnp.asarray(scan)
-        keep = pointcloud.preprocess(
-            scan, jnp.zeros(scan.shape[0]), jnp.asarray(scan_valid),
-            blind=self.cfg.lidar.blind,
-        )
-        ds, dsv = pointcloud.voxel_downsample(scan, keep, self.cfg.lidar.map_voxel)
-        # voxel_downsample compacts valid points to the front: truncating to
-        # insert_cap shrinks the merge batch ~4x (a 0.5 m-downsampled KITTI
-        # scan has ~15-30k voxels vs the 131k padded buffer)
-        cap = self.cfg.lidar.insert_cap
-        ds, dsv = ds[:cap], dsv[:cap]
-        T_wl = lie.se3_inverse(self.T_cw) @ self.T_cl
-        p_w = lie.se3_apply(T_wl, ds)
-        self.vmap = voxel_map.insert(self.vmap, p_w, dsv)
-        pos_w = lie.translation(T_wl)
-        self.vmap, _ = lio.maybe_recenter(self.vmap, pos_w)
 
     # ------------------------------------------------------------------
     def _store_kf_lidar(self, kf_id, scan, scan_valid):
