@@ -129,6 +129,17 @@ class System:
             # LocalMapping.cc:1184-1445): becomes True once the gravity /
             # bias / velocity bundle has been optimized on the keyframe map
             self._vi_initialized = False
+            # Tightly-coupled per-frame pose tracking
+            # (PoseInertialOptimizationLast{KeyFrame,Frame}, Optimizer.cc:
+            # 2469/2854): device ring buffer of IMU samples since the last
+            # KF + the marginalization-prior chain (ConstraintPoseImu).
+            from ..solver import pose_inertial as pi_mod
+            self._pi = pi_mod
+            self._imu_ring = None          # (gyro [C,3], acc [C,3], dts [C])
+            self._imu_ring_n = 0           # host count of filled slots
+            self._frame_prior = None       # FramePrior of the previous frame
+            self._prev_vi_state = None
+            self._vi_vel = jnp.zeros(3)
 
     # ------------------------------------------------------------------
     def prefetch(self, img_l, img_r, scan=None, scan_valid=None):
@@ -261,6 +272,9 @@ class System:
             self._reset_imu()
             return
         self._imu_buf.append((np.asarray(gyro), np.asarray(acc), np.asarray(dts)))
+        g_dev, a_dev, d_dev = jnp.asarray(gyro), jnp.asarray(acc), jnp.asarray(dts)
+        self._last_imu_window = (g_dev, a_dev, d_dev)
+        self._imu_ring_append(g_dev, a_dev, d_dev)
         # prediction: relative LIO camera motion composed onto the visual pose
         T_wb = lie.se3(self.filt.x.R, self.filt.x.pos)
         T_wc_lio = T_wb @ self.T_bc
@@ -268,6 +282,118 @@ class System:
             rel = lie.se3_inverse(T_wc_lio) @ self._last_filt_Twc
             self.velocity = rel  # T_ck<-c(k-1): prediction = rel @ T_cw_prev
         self._last_filt_Twc = T_wc_lio
+
+    # ------------------------------------------------------------------
+    IMU_RING_CAP = 1024
+
+    def _imu_ring_append(self, gyro, acc, dts):
+        """Append this frame's IMU window into the since-last-KF device ring
+        (padding samples carry dt=0 and are no-ops for the preintegration)."""
+        W = gyro.shape[0]
+        if self._imu_ring is None:
+            C = self.IMU_RING_CAP
+            self._imu_ring = (jnp.zeros((C, 3)), jnp.zeros((C, 3)), jnp.zeros(C))
+        if self._imu_ring_n + W > self.IMU_RING_CAP:
+            return  # overflow: VI frame refine skips until the next KF
+        g, a, d = self._imu_ring
+        n = self._imu_ring_n
+        self._imu_ring = (
+            jax.lax.dynamic_update_slice(g, gyro, (n, 0)),
+            jax.lax.dynamic_update_slice(a, acc, (n, 0)),
+            jax.lax.dynamic_update_slice(d, dts, (n,)),
+        )
+        self._imu_ring_n += W
+
+    def _imu_ring_reset(self):
+        if self._imu_ring is not None:
+            g, a, d = self._imu_ring
+            self._imu_ring = (g, a, jnp.zeros_like(d))
+        self._imu_ring_n = 0
+
+    # ------------------------------------------------------------------
+    def _vi_frame_refine(self, res):
+        """Per-frame tightly-coupled pose refinement (the reference runs
+        PoseInertialOptimizationLastKeyFrame right after a map update and
+        ...LastFrame otherwise, Tracking.cc:2858-2878). Adopts the refined
+        pose/velocity and chains the marginalization prior; all device
+        values — no extra host sync."""
+        pi_mod = self._pi
+        if self._imu_ring is None or self._imu_ring_n == 0:
+            return
+        if self._imu_ring_n + 64 > self.IMU_RING_CAP:
+            self._frame_prior = None
+            return
+        m = self.map
+        kf = max(self.ref_kf, 0)
+        T_wb_kf = lie.se3_inverse(m.kf_T_cw[kf]) @ self.T_cb
+        anchor = pi_mod.FrameVIState(
+            T_wb=T_wb_kf, vel=self.imu_store.vel[kf],
+            bg=self.imu_store.bg[kf], ba=self.imu_store.ba[kf],
+        )
+        # matched landmarks of this frame (track_step's assignment)
+        feat_lm = res.feat_lm
+        has = feat_lm != mapstate.NO_LM
+        lm_c = jnp.clip(feat_lm, 0, m.L - 1)
+        X_w = m.lm_pos[lm_c]
+        frame = self._last_frame
+        inv_s2 = 1.0 / self.sigma2[jnp.clip(frame.level, 0,
+                                            self.sigma2.shape[0] - 1)]
+        stereo = frame.uvr[:, 2] > 0
+        valid = has & frame.valid
+
+        state0 = pi_mod.FrameVIState(
+            T_wb=lie.se3_inverse(res.T_cw) @ self.T_cb,
+            vel=anchor.vel if self._prev_vi_state is None else self._vi_vel,
+            bg=anchor.bg, ba=anchor.ba,
+        )
+        cal = self.imu_cal
+
+        def _floor_cov(pre):
+            # Same unmodeled-error covariance floor the KF store applies
+            # (imu_mode.set_kf): a quiet IMU preintegrates to information
+            # ~1e8, far beyond what the anchor state's own accuracy (window
+            # LVI-BA velocities, time sync, extrinsics) supports; flooring
+            # keeps the per-frame factor honest vs the visual terms.
+            C9 = pre.C[:9, :9] + jnp.diag(jnp.concatenate([
+                jnp.full(3, imu_mode.SIGMA_ROT_FLOOR ** 2),
+                jnp.full(3, imu_mode.SIGMA_VEL_FLOOR ** 2),
+                jnp.full(3, imu_mode.SIGMA_POS_FLOOR ** 2),
+            ]))
+            return pre._replace(C=pre.C.at[:9, :9].set(C9))
+        use_last_frame = (self.frames_since_kf > 0
+                          and self._frame_prior is not None
+                          and self._prev_vi_state is not None)
+        if use_last_frame:
+            # preintegration over THIS frame's window only, at the previous
+            # frame's bias linearization
+            g, a, d = self._last_imu_window
+            pre = _floor_cov(imu_est.integrate(cal, g, a, d,
+                                               self._prev_vi_state.bg,
+                                               self._prev_vi_state.ba))
+            info_bg = 1.0 / (cal.sigma_gw ** 2 * jnp.maximum(pre.dt, 1e-3))
+            info_ba = 1.0 / (cal.sigma_aw ** 2 * jnp.maximum(pre.dt, 1e-3))
+            out = pi_mod.optimize_last_frame(
+                self.cam, self.T_cb, state0, self._prev_vi_state,
+                self._frame_prior, pre, self.gravity_vis,
+                X_w, frame.uvr, inv_s2, stereo, valid, info_bg, info_ba,
+            )
+        else:
+            g, a, d = self._imu_ring
+            d = jnp.where(jnp.arange(d.shape[0]) < self._imu_ring_n, d, 0.0)
+            pre = _floor_cov(imu_est.integrate(cal, g, a, d, anchor.bg,
+                                               anchor.ba))
+            info_bg = 1.0 / (cal.sigma_gw ** 2 * jnp.maximum(pre.dt, 1e-3))
+            info_ba = 1.0 / (cal.sigma_aw ** 2 * jnp.maximum(pre.dt, 1e-3))
+            out = pi_mod.optimize_last_kf(
+                self.cam, self.T_cb, state0, anchor, pre, self.gravity_vis,
+                X_w, frame.uvr, inv_s2, stereo, valid, info_bg, info_ba,
+            )
+        T_cw_new = lie.se3_inverse(out.state.T_wb @ self.T_bc)
+        self.T_cw = T_cw_new
+        self.velocity = T_cw_new @ lie.se3_inverse(self.last_T_cw)
+        self._vi_vel = out.state.vel
+        self._frame_prior = out.prior
+        self._prev_vi_state = out.state
 
     # ------------------------------------------------------------------
     def _reset_imu(self):
@@ -278,6 +404,9 @@ class System:
         self._imu_buf = []
         self._last_filt_Twc = None
         self.velocity = jnp.eye(4)
+        self._imu_ring_reset()
+        self._frame_prior = None
+        self._prev_vi_state = None
 
     # ------------------------------------------------------------------
     def activate_localization_mode(self, on: bool = True):
@@ -374,6 +503,13 @@ class System:
         self.T_cw = T_new
         self.velocity = vel_new
         self.map = new_map
+
+        # Tightly-coupled VI pose refinement (visual + IMU preintegration
+        # prior at frame rate) once the inertial stack is initialized
+        if self.use_imu and self._imu_initialized and self._vi_initialized:
+            self._last_frame = frame
+            with self.timers.stage("vi_refine"):
+                self._vi_frame_refine(res)
 
         # LiDAR map update: normally already dispatched pre-sync (above); on
         # a recovery path the pre-sync insert used the failed pose — redo it
@@ -486,11 +622,19 @@ class System:
                     jnp.asarray(d), self.filt.x.bg, self.filt.x.ba,
                 )
             self._imu_buf = []
-            # velocity snapshot in visual-world axes
-            v_vis = lie.rotation(self.T_cb) @ self.filt.x.vel
+            # velocity snapshot in visual-world axes; prefer the VI frame
+            # tracker's estimate once it runs (it lives in the visual frame)
+            if self._prev_vi_state is not None and self._vi_initialized:
+                v_vis = self._vi_vel
+            else:
+                v_vis = lie.rotation(self.T_cb) @ self.filt.x.vel
             self.imu_store = self.imu_store.set_kf(
                 kf_id, pre, v_vis, bg=self.filt.x.bg, ba=self.filt.x.ba
             )
+            # reset the per-frame tight coupling at the KF boundary (the
+            # reference switches back to ...LastKeyFrame on map update)
+            self._imu_ring_reset()
+            self._frame_prior = None
 
         self.ref_kf = kf_id
         # reference-KF track baseline = features now linked to landmarks
@@ -832,6 +976,9 @@ class System:
         if self.use_imu:
             self.imu_store = imu_mode.ImuKfStore.create(t.max_kf)
             self._vi_initialized = False
+            self._imu_ring_reset()
+            self._frame_prior = None
+            self._prev_vi_state = None
         self.n_kf_host = 0
         self.kf_alive = [True] * t.max_kf
         self.ref_kf = -1

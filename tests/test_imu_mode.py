@@ -110,3 +110,58 @@ def test_inertial_ba_matches_visual_long_run():
     assert ate_on < max(ate_off * 1.5, 0.06), (
         f"inertial {ate_on:.4f} vs visual {ate_off:.4f}"
     )
+
+
+@pytest.mark.slow
+def test_starved_visual_frames_held_by_tight_coupling():
+    """VERDICT r2 missing #1 done-criterion: frames whose visual matches are
+    artificially starved (<15 features) hold the trajectory when the
+    tightly-coupled per-frame VI optimizer runs, and degrade substantially
+    without it (visual-only per-frame pose, same LIO prediction).
+
+    Starvation: for a mid-sequence stretch, all but 12 extracted features
+    are masked out before tracking (simulating texture loss)."""
+    from tc2li_slam_tpu.slam import tracking as trk
+
+    STARVE = set(range(22, 30))
+    KEEP = 12
+
+    def run(enable_vi_refine):
+        cfg = dataclasses.replace(imu_cfg(), inertial_ba=True)
+        frames, world, traj = syn.generate_sequence(
+            n_frames=40, cam=syn.SMALL, seed=3, n_scan=2048,
+        )
+        slam = sys_mod.System(cfg)
+        if not enable_vi_refine:
+            slam._vi_frame_refine = lambda res: None
+        T_bc = syn.body_from_cam()
+        orig_build = trk.build_frame
+
+        gt = []
+        for k, fr in enumerate(frames):
+            if k in STARVE:
+                def starved(*a, **kw):
+                    f = orig_build(*a, **kw)
+                    keep = jnp.zeros(f.valid.shape[0], bool).at[:KEEP].set(True)
+                    return f._replace(valid=f.valid & keep)
+                trk.build_frame = starved
+            else:
+                trk.build_frame = orig_build
+            try:
+                slam.track(
+                    fr.img_l, fr.img_r, fr.t, fr.scan, fr.scan_valid,
+                    gyro=fr.gyro, acc=fr.acc, imu_dts=fr.imu_dts,
+                    imu_trel=fr.imu_trel, scan_times=fr.scan_times,
+                )
+            finally:
+                trk.build_frame = orig_build
+            gt.append(fr.T_wb_gt @ T_bc)
+        est = slam.trajectory_world_from_cam()
+        return syn.ate_rmse(est, np.stack(gt))
+
+    ate_vi = run(True)
+    ate_vo = run(False)
+    assert ate_vi < 0.12, f"VI-held ATE {ate_vi:.3f}"
+    assert ate_vi < 0.7 * max(ate_vo, 1e-9), (
+        f"tight coupling did not help: VI {ate_vi:.4f} vs visual-only {ate_vo:.4f}"
+    )
