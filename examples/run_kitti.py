@@ -27,6 +27,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def build_config(calib, args):
     from tc2li_slam_tpu.slam import config as cfg_mod
 
+    kw = {}
+    if args.imu_dir:
+        # KITTI raw oxts IMU; noise densities follow the reference's
+        # Camera-Inertial-Lidar configs (KITTI04-12.yaml:50-55)
+        kw.update(
+            use_imu=True,
+            inertial_ba=True,
+            imu=cfg_mod.ImuConfig(
+                noise_gyro=1.7e-4, noise_acc=2.0e-3,
+                gyro_walk=1.9e-5, acc_walk=3.0e-3,
+                T_bc=np.asarray(calib.T_cam_velo) @ np.asarray(args_T_velo_imu(args)),
+            ),
+        )
     # camera-from-lidar: calib.txt's Tr is velo->cam0
     return cfg_mod.SystemConfig(
         camera=cfg_mod.CameraConfig(
@@ -43,8 +56,77 @@ def build_config(calib, args):
             max_kf=args.max_kf, max_lm=1 << 15, max_obs=8,
             kf_max_interval=5, local_window=6, ba_iters=6,
         ),
+        loop_closing=args.loop_closing,
         profile=True,
+        **kw,
     )
+
+
+def args_T_velo_imu(args):
+    """IMU(body)-from-velodyne extrinsic: KITTI raw calib_imu_to_velo when
+    provided, else the nominal rig offset (the reference hard-codes the
+    equivalent in its launch params, config/kitti.yaml extrinsic_T/R)."""
+    if args.imu_calib and os.path.exists(args.imu_calib):
+        vals = {}
+        with open(args.imu_calib) as f:
+            for line in f:
+                if ":" in line:
+                    k, v = line.split(":", 1)
+                    vals[k.strip()] = np.fromstring(v, sep=" ")
+        T = np.eye(4, dtype=np.float64)
+        T[:3, :3] = vals["R"].reshape(3, 3)
+        T[:3, 3] = vals["T"]
+        return np.linalg.inv(T)  # file stores imu->velo
+    T = np.eye(4)
+    T[:3, 3] = (-0.81, 0.32, 0.8)  # nominal KITTI imu<-velo offset
+    return T
+
+
+def load_oxts_imu(imu_dir: str):
+    """KITTI raw oxts -> (timestamps [M], gyro [M, 3], acc [M, 3]).
+
+    Reads ``oxts/timestamps.txt`` + ``oxts/data/*.txt``; uses the body-frame
+    rates (wx, wy, wz; fields 17-19) and accelerations (ax, ay, az; fields
+    11-13) — the same signals the reference's imu_cbk consumes."""
+    import datetime
+
+    ts_file = os.path.join(imu_dir, "timestamps.txt")
+    times = []
+    with open(ts_file) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            dt = datetime.datetime.fromisoformat(line[:26])
+            times.append(dt.timestamp())
+    data_dir = os.path.join(imu_dir, "data")
+    names = sorted(os.listdir(data_dir))
+    gyro, acc = [], []
+    for name in names:
+        v = np.loadtxt(os.path.join(data_dir, name))
+        acc.append(v[11:14])
+        gyro.append(v[17:20])
+    n = min(len(times), len(names))
+    return (np.asarray(times[:n]) - times[0], np.asarray(gyro[:n]),
+            np.asarray(acc[:n]))
+
+
+def imu_window(imu, t0, t1, cap=64):
+    """Samples with t0 < t <= t1 as fixed-shape (gyro, acc, dts, trel)."""
+    times, gyro, acc = imu
+    sel = np.where((times > t0) & (times <= t1))[0][:cap]
+    g = np.zeros((cap, 3), np.float32)
+    a = np.zeros((cap, 3), np.float32)
+    d = np.zeros(cap, np.float32)
+    tr = np.zeros(cap, np.float32)
+    prev = t0
+    for j, i in enumerate(sel):
+        g[j] = gyro[i]
+        a[j] = acc[i]
+        d[j] = times[i] - prev
+        tr[j] = times[i] - t0
+        prev = times[i]
+    return g, a, d, tr
 
 
 def main(argv=None):
@@ -59,18 +141,34 @@ def main(argv=None):
     ap.add_argument("--no-lidar", action="store_true")
     ap.add_argument("--n-scan", type=int, default=1 << 17)
     ap.add_argument("--platform", default=None, help="jax platform override")
+    ap.add_argument("--voc", default=None,
+                    help="ORBvoc.txt path (enables relocalization + place "
+                         "recognition; required for --loop-closing)")
+    ap.add_argument("--loop-closing", action="store_true",
+                    help="enable loop detection + Sim3 pose-graph correction "
+                         "(the 00-02 configs; needs --voc)")
+    ap.add_argument("--imu-dir", default=None,
+                    help="KITTI raw oxts directory (timestamps.txt + data/) "
+                         "-> IMU_STEREO_LIDAR mode (the 04-12 CIL configs)")
+    ap.add_argument("--imu-calib", default=None,
+                    help="KITTI raw calib_imu_to_velo.txt (else nominal rig)")
     args = ap.parse_args(argv)
+    if args.loop_closing and not args.voc:
+        ap.error("--loop-closing requires --voc")
 
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
 
     from tc2li_slam_tpu.io import kitti, native
+    from tc2li_slam_tpu.ops import bow
     from tc2li_slam_tpu.slam import evaluate, system as sys_mod
 
     seq = kitti.KittiSequence(args.root, args.seq, n_scan=args.n_scan)
     cfg = build_config(seq.calib, args)
-    slam = sys_mod.System(cfg)
+    voc = bow.load_orbvoc_txt(args.voc) if args.voc else None
+    imu = load_oxts_imu(args.imu_dir) if args.imu_dir else None
+    slam = sys_mod.System(cfg, voc=voc)
 
     n = len(seq) if args.frames <= 0 else min(args.frames, len(seq))
     scan_paths = [
@@ -85,8 +183,16 @@ def main(argv=None):
         if cfg.lidar.enabled:
             scan, stimes, svalid, _ = pre.get(i)
         else:
-            scan = svalid = None
-        slam.track(img_l, img_r, float(seq.times[i]), scan, svalid)
+            scan = stimes = svalid = None
+        t_i = float(seq.times[i])
+        if imu is not None:
+            t_prev = float(seq.times[i - 1]) if i > 0 else t_i - 0.1
+            g, a, d, tr = imu_window(imu, t_prev, t_i)
+            slam.track(img_l, img_r, t_i, scan, svalid,
+                       gyro=g, acc=a, imu_dts=d, imu_trel=tr,
+                       scan_times=stimes)
+        else:
+            slam.track(img_l, img_r, t_i, scan, svalid)
         if i % 100 == 0:
             print(f"frame {i}/{n} state={slam.state} kf={slam.n_kf_host}",
                   file=sys.stderr)

@@ -30,10 +30,20 @@ class Pinhole(NamedTuple):
     cx: jax.Array
     cy: jax.Array
     bf: jax.Array  # stereo baseline [m] * fx; 0 for mono use
+    width: jax.Array   # image bounds for frustum checks (Frame::isInFrustum)
+    height: jax.Array
 
     @staticmethod
-    def create(fx, fy, cx, cy, bf=0.0, dtype=jnp.float32) -> "Pinhole":
-        return Pinhole(*[jnp.asarray(v, dtype=dtype) for v in (fx, fy, cx, cy, bf)])
+    def create(fx, fy, cx, cy, bf=0.0, width=None, height=None,
+               dtype=jnp.float32) -> "Pinhole":
+        # Callers that don't know the sensor size get the centered-principal-
+        # point approximation (2cx x 2cy); configured systems pass real bounds.
+        if width is None:
+            width = 2.0 * float(cx)
+        if height is None:
+            height = 2.0 * float(cy)
+        return Pinhole(*[jnp.asarray(v, dtype=dtype)
+                         for v in (fx, fy, cx, cy, bf, width, height)])
 
     @property
     def baseline(self):
@@ -51,6 +61,15 @@ class Pinhole(NamedTuple):
             ],
             axis=-2,
         )
+
+
+def in_image(cam: Pinhole, uv: jax.Array, margin: float = 0.0) -> jax.Array:
+    """[...,2] pixel coords -> bool mask inside the configured image bounds
+    (Frame::isInFrustum's mnMinX/mnMaxX/mnMinY/mnMaxY test, Frame.cc:542)."""
+    return (
+        (uv[..., 0] >= -margin) & (uv[..., 0] < cam.width + margin)
+        & (uv[..., 1] >= -margin) & (uv[..., 1] < cam.height + margin)
+    )
 
 
 def project(cam: Pinhole, p_cam: jax.Array) -> jax.Array:

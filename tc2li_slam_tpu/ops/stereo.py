@@ -73,9 +73,18 @@ def subpixel_refine(
     KITTI and the parabola interpolation is scale-invariant).
     """
     N = kpl_uv.shape[0]
+    H, W = img_l.shape
     r = jnp.round(kpl_uv[:, 1]).astype(jnp.int32)
     cl = jnp.round(kpl_uv[:, 0]).astype(jnp.int32)
     cr = jnp.round(ur0).astype(jnp.int32)
+    # A predicted right-strip center outside the image cannot be refined:
+    # dynamic_slice would clamp the START index, silently shifting the whole
+    # window (different border semantics than per-pixel clipping) — reject
+    # instead, and clamp the centers so padded/invalid rows slice in-range.
+    valid = valid & (cr >= 0) & (cr < W) & (r >= 0) & (r < H)
+    r = jnp.clip(r, 0, H - 1)
+    cl = jnp.clip(cl, 0, W - 1)
+    cr = jnp.clip(cr, 0, W - 1)
 
     # vmap(dynamic_slice) over edge-padded images — measured much faster on
     # TPU than the [N, 11, ...] advanced-index gathers, and edge padding

@@ -73,6 +73,7 @@ def _unflatten(cls, prefix: str, data: dict):
 
 def save_system(slam, path: str):
     """Write a resumable checkpoint of the full system state."""
+    slam.flush_mapping()  # land deferred LocalMapping work first
     arrays: dict[str, np.ndarray] = {}
     _flatten("map.", slam.map, arrays)
     if slam.lidar_enabled:
@@ -112,6 +113,8 @@ def save_system(slam, path: str):
         "use_imu": slam.use_imu,
         "lidar_enabled": slam.lidar_enabled,
         "imu_initialized": getattr(slam, "_imu_initialized", False),
+        "vi_initialized": getattr(slam, "_vi_initialized", False),
+        "kf_alive": list(slam.kf_alive),
         "atlas": {
             "n_created": slam.atlas.n_created,
             "n_discarded": slam.atlas.n_discarded,
@@ -166,6 +169,13 @@ def load_system(path: str, cfg, voc=None):
         slam.imu_store = _unflatten(type(slam.imu_store), "imu_store.", data)
         slam.gravity_vis = jnp.asarray(data["gravity_vis"])
         slam._imu_initialized = header["imu_initialized"]
+        slam._vi_initialized = header.get("vi_initialized", False)
+        # The per-frame VI ring (_imu_ring/_frame_prior/_prev_vi_state) is
+        # NOT checkpointed: a restore mid-keyframe-interval would otherwise
+        # preintegrate a truncated window against the pre-save KF anchor.
+        # Hold the tightly-coupled frame refine until the next keyframe
+        # resets the ring.
+        slam._imu_ring_overflow = True
     slam.T_cw = jnp.asarray(data["T_cw"])
     slam.velocity = jnp.asarray(data["velocity"])
 
@@ -177,6 +187,8 @@ def load_system(path: str, cfg, voc=None):
     slam.frame_idx = header["frame_idx"]
     slam.map_id = header["map_id"]
     slam.n_lost = header["n_lost"]
+    if "kf_alive" in header:
+        slam.kf_alive = list(header["kf_alive"])
 
     slam.atlas = atlas_mod.Atlas(
         n_created=header["atlas"]["n_created"],

@@ -69,6 +69,9 @@ class LidarConfig:
     meas_cov: float = 0.001
     map_capacity: int = 1 << 19
     insert_cap: int = 1 << 15      # max downsampled points inserted per scan
+    insert_every: int = 4          # frames staged per batched map insert
+    #   (the pool-sized sort dominates insert cost; staging amortizes it —
+    #   the map lags <insert_every frames, like ikd-tree's deferred rebuild)
     scan_quant: float = 0.004      # meters/LSB for int16-quantized scan input
     kf_points: int = 2048          # stored surf points per keyframe
     balm_voxel: float = 1.0

@@ -56,18 +56,24 @@ def cull_keyframes(
     m: mapstate.MapState,
     protect: jax.Array,     # [K] bool (current KF, its neighbors, KF 0)
     thresh: float = 0.9,
-) -> mapstate.MapState:
+) -> tuple[mapstate.MapState, jax.Array]:
     """Invalidate the most redundant keyframe (at most one per call).
 
     The reference culls one KF per mapping iteration and re-evaluates —
     killing all simultaneously-redundant KFs in one pass would ignore that
-    each removal lowers the redundancy of the others."""
+    each removal lowers the redundancy of the others.
+
+    Returns ``(map', killed)`` where ``killed`` is the culled slot id as a
+    device scalar (-1 when nothing crossed the threshold) so callers can
+    mirror host state without a blocking fetch."""
     red = keyframe_redundancy(m)
     cand = m.kf_valid & (red > thresh) & ~protect
     red_m = jnp.where(cand, red, -1.0)
     best = jnp.argmax(red_m)
-    kill = jnp.zeros(m.K, bool).at[best].set(red_m[best] > 0)
-    return remove_keyframes(m, kill)
+    hit = red_m[best] > 0
+    kill = jnp.zeros(m.K, bool).at[best].set(hit)
+    killed = jnp.where(hit, best, -1).astype(jnp.int32)
+    return remove_keyframes(m, kill), killed
 
 
 @jax.jit
@@ -166,10 +172,7 @@ def fuse_into_keyframe(
     Xc = lie.se3_apply(T, m.lm_pos)
     uv = cam_mod.project(cam, Xc)
     depth_ok = Xc[:, 2] > 0.1
-    in_img = (
-        (uv[:, 0] >= 0) & (uv[:, 0] < 2 * cam.cx + 64)
-        & (uv[:, 1] >= 0) & (uv[:, 1] < 2 * cam.cy + 64)
-    )
+    in_img = cam_mod.in_image(cam, uv)
     dist = jnp.linalg.norm(Xc, axis=-1)
     dist_ok = (dist >= 0.5 * m.lm_dist[:, 0]) & (
         dist <= 1.5 * jnp.maximum(m.lm_dist[:, 1], 1e-3)

@@ -158,6 +158,47 @@ def maybe_recenter(m: voxel_map.VoxelMap, pos: jax.Array, margin: float = 150.0)
 
 
 @partial(jax.jit, static_argnames=("insert_cap",))
+def camera_scan_stage(
+    scan: jax.Array,        # [N, 3] raw scan, LiDAR frame (padded)
+    scan_valid: jax.Array,  # [N]
+    T_cw: jax.Array,        # [4, 4] tracked camera pose
+    T_cl: jax.Array,        # [4, 4] camera-from-lidar extrinsic
+    blind,
+    map_voxel,
+    insert_cap: int = 1 << 15,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-frame half of the map maintenance: preprocess -> downsample ->
+    world transform. Returns (points_w [cap, 3], valid [cap]) for a later
+    batched ``camera_map_flush``.
+
+    The (N_pool + B)-sized sort inside ``voxel_map.insert`` costs ~37 ms at
+    512k pool on the chip and its cost is dominated by the POOL size, so
+    running it per frame wastes ~3/4 of it on re-sorting unchanged keys;
+    staging frames and flushing every few frames amortizes the sort with no
+    loss (the reference's ikd-tree likewise defers restructuring work to its
+    background rebalance thread, ikd_Tree.h:260-263)."""
+    keep = pointcloud.preprocess(
+        scan, jnp.zeros(scan.shape[0], scan.dtype), scan_valid, blind=blind)
+    ds, dsv = pointcloud.voxel_downsample(scan, keep, map_voxel)
+    ds, dsv = ds[:insert_cap], dsv[:insert_cap]
+    T_wl = lie.se3_inverse(T_cw) @ T_cl
+    return lie.se3_apply(T_wl, ds), dsv
+
+
+@jax.jit
+def camera_map_flush(
+    m: voxel_map.VoxelMap,
+    pts_w: jax.Array,     # [B, 3] staged world points (concatenated frames)
+    valid: jax.Array,     # [B]
+    center: jax.Array,    # [3] current sensor position (recenter trigger)
+) -> voxel_map.VoxelMap:
+    """Batched insert + recenter for staged scan points."""
+    m = voxel_map.insert(m, pts_w, valid)
+    m, _ = maybe_recenter(m, center)
+    return m
+
+
+@partial(jax.jit, static_argnames=("insert_cap",))
 def camera_map_update(
     m: voxel_map.VoxelMap,
     scan: jax.Array,        # [N, 3] raw scan, LiDAR frame (padded)

@@ -47,7 +47,8 @@ class LidarStore(NamedTuple):
 
 def select_window(m: mapstate.MapState, kf_id: int, n_window: int,
                   n_kf: int | None = None,
-                  alive: "list[bool] | None" = None):
+                  alive: "list[bool] | None" = None,
+                  covis=None):
     """Covisibility window KF ids (host-side): the new KF + best covisible.
 
     Falls back to temporal neighbors when covisibility is thin (early map);
@@ -57,8 +58,17 @@ def select_window(m: mapstate.MapState, kf_id: int, n_window: int,
     compiled BA for every window size. The oldest real KF is the gauge
     anchor, mirroring the reference fixing observer KFs; padded slots are
     held fixed too.
+
+    ``covis`` optionally supplies the (neigh, weight) device arrays of an
+    earlier ``mapstate.top_covisible(m, kf_id, n_window - 1, min_weight=10)``
+    call whose device->host copy was started asynchronously — the fetch here
+    is then free (the deferred-mapping pipeline in slam/system.py uses this
+    to keep the keyframe event sync-free).
     """
-    neigh, w = mapstate.top_covisible(m, jnp.int32(kf_id), n_window - 1, min_weight=10)
+    if covis is None:
+        covis = mapstate.top_covisible(
+            m, jnp.int32(kf_id), n_window - 1, min_weight=10)
+    neigh, w = covis
     neigh = [int(i) for i, ww in zip(np.asarray(neigh), np.asarray(w)) if i >= 0 and ww > 0]
     if alive is not None:
         neigh = [i for i in neigh if alive[i]]

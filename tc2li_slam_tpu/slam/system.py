@@ -54,7 +54,8 @@ class System:
         # distributed solver (parallel.dist_ba) instead of the single-chip one
         self.mesh = mesh
         c = cfg.camera
-        self.cam = cam_mod.Pinhole.create(c.fx, c.fy, c.cx, c.cy, bf=c.bf)
+        self.cam = cam_mod.Pinhole.create(c.fx, c.fy, c.cx, c.cy, bf=c.bf,
+                                          width=c.width, height=c.height)
         self.scale_factors = jnp.asarray(cfg.orb.scale_factors(), jnp.float32)
         self.sigma2 = jnp.asarray(cfg.orb.sigma2(), jnp.float32)
         t = cfg.tracking
@@ -105,6 +106,17 @@ class System:
         self._rng_key = jax.random.PRNGKey(0)
         # REGISTER_TIMES analog: per-stage host timings (profiling.py)
         self.timers = profiling.StageTimer(enabled=cfg.profile)
+        # Deferred LocalMapping (the reference runs it on its own thread,
+        # LocalMapping.cc:70 — tracking never waits for it): the mapping
+        # step for a new keyframe runs on the NEXT frame, after that
+        # frame's single host sync, so the keyframe event adds no blocking
+        # device round-trips to the frame that created it.
+        self._pending_mapping: int | None = None
+        self._covis_fetch = None          # prefetched top_covisible arrays
+        self._ref_kf_tracked_dev = None   # async ref-KF tracked count
+        self._cull_fetch = None           # async culled-slot id
+        # staged (points_w, valid) scan batches awaiting the pooled insert
+        self._lidar_pending: list = []
 
         # --- IMU_STEREO_LIDAR mode state (LidarInertialProcess + inertial BA)
         self.use_imu = cfg.use_imu
@@ -137,6 +149,7 @@ class System:
             self._pi = pi_mod
             self._imu_ring = None          # (gyro [C,3], acc [C,3], dts [C])
             self._imu_ring_n = 0           # host count of filled slots
+            self._imu_ring_overflow = False  # dropped window -> refine holds
             self._frame_prior = None       # FramePrior of the previous frame
             self._prev_vi_state = None
             self._vi_vel = jnp.zeros(3)
@@ -294,7 +307,11 @@ class System:
             C = self.IMU_RING_CAP
             self._imu_ring = (jnp.zeros((C, 3)), jnp.zeros((C, 3)), jnp.zeros(C))
         if self._imu_ring_n + W > self.IMU_RING_CAP:
-            return  # overflow: VI frame refine skips until the next KF
+            # overflow: the since-KF window is no longer contiguous — flag it
+            # so the VI frame refine disables itself until the next KF resets
+            # the ring (a gapped ring would preintegrate a wrong interval)
+            self._imu_ring_overflow = True
+            return
         g, a, d = self._imu_ring
         n = self._imu_ring_n
         self._imu_ring = (
@@ -309,6 +326,7 @@ class System:
             g, a, d = self._imu_ring
             self._imu_ring = (g, a, jnp.zeros_like(d))
         self._imu_ring_n = 0
+        self._imu_ring_overflow = False
 
     # ------------------------------------------------------------------
     def _vi_frame_refine(self, res):
@@ -320,7 +338,10 @@ class System:
         pi_mod = self._pi
         if self._imu_ring is None or self._imu_ring_n == 0:
             return
-        if self._imu_ring_n + 64 > self.IMU_RING_CAP:
+        if getattr(self, "_imu_ring_overflow", False):
+            # a dropped window made the since-KF ring non-contiguous; the
+            # last-KF preintegration would span a gapped interval — hold off
+            # until the next keyframe resets the ring
             self._frame_prior = None
             return
         m = self.map
@@ -388,12 +409,58 @@ class System:
                 self.cam, self.T_cb, state0, anchor, pre, self.gravity_vis,
                 X_w, frame.uvr, inv_s2, stereo, valid, info_bg, info_ba,
             )
-        T_cw_new = lie.se3_inverse(out.state.T_wb @ self.T_bc)
+        # Adoption gate, fully on device (no extra host sync): a degenerate
+        # solve (few visual inliers backing the refine, or a non-finite
+        # state) must not overwrite the already-accepted visual pose — the
+        # reference inspects the optimization's inlier count the same way
+        # (PoseInertialOptimizationLastFrame's return, Tracking.cc:2874).
+        st_ok = jnp.all(jnp.asarray([
+            jnp.all(jnp.isfinite(out.state.T_wb)),
+            jnp.all(jnp.isfinite(out.state.vel)),
+            jnp.all(jnp.isfinite(out.state.bg)),
+            jnp.all(jnp.isfinite(out.state.ba)),
+        ]))
+        good = (out.n_inliers >= 10) & st_ok
+        goodf = good.astype(jnp.float32)
+        T_cw_ref = lie.se3_inverse(out.state.T_wb @ self.T_bc)
+        T_cw_new = jnp.where(good, T_cw_ref, res.T_cw)
+        fallback = pi_mod.FrameVIState(
+            T_wb=lie.se3_inverse(res.T_cw) @ self.T_cb,
+            vel=state0.vel, bg=state0.bg, ba=state0.ba,
+        )
+        adopted = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(good, a, b), out.state, fallback)
         self.T_cw = T_cw_new
         self.velocity = T_cw_new @ lie.se3_inverse(self.last_T_cw)
-        self._vi_vel = out.state.vel
-        self._frame_prior = out.prior
-        self._prev_vi_state = out.state
+        self._vi_vel = adopted.vel
+        # on failure the prior chain is dropped (weight 0 disables the factor)
+        self._frame_prior = out.prior._replace(weight=out.prior.weight * goodf)
+        self._prev_vi_state = adopted
+
+    # ------------------------------------------------------------------
+    def _predict_pose_imu(self):
+        """PredictStateIMU (Tracking.cc:1825): dead-reckon the frame pose
+        from the last keyframe's VI state + the since-KF preintegrated IMU
+        window (the preintegration is the only motion source — used when
+        visual tracking fails and the LIO prediction is unavailable or
+        untrusted)."""
+        kf = max(self.ref_kf, 0)
+        T_wb_kf = lie.se3_inverse(self.map.kf_T_cw[kf]) @ self.T_cb
+        g, a, d = self._imu_ring
+        d = jnp.where(jnp.arange(d.shape[0]) < self._imu_ring_n, d, 0.0)
+        pre = imu_est.integrate(
+            self.imu_cal, g, a, d,
+            self.imu_store.bg[kf], self.imu_store.ba[kf],
+        )
+        R1 = T_wb_kf[:3, :3]
+        p1 = T_wb_kf[:3, 3]
+        v1 = self.imu_store.vel[kf]
+        grav = self.gravity_vis
+        # state composition of the EdgeInertial model (factors.imu_residual):
+        # R2 = R1 dR; p2 = p1 + v1 dt + 0.5 g dt^2 + R1 dP
+        R2 = R1 @ pre.dR
+        p2 = p1 + v1 * pre.dt + 0.5 * grav * pre.dt * pre.dt + R1 @ pre.dP
+        return lie.se3_inverse(lie.se3(R2, p2) @ self.T_bc)
 
     # ------------------------------------------------------------------
     def _reset_imu(self):
@@ -436,26 +503,35 @@ class System:
             except (AttributeError, RuntimeError):
                 pass
 
-        # Dispatch the LiDAR map update BEFORE the host sync, against the
-        # un-synced tracked pose (UpdateMap, Tracking.cc:1603): it needs no
-        # host decision, and on the (rare) tracking failure we roll the map
-        # object back — a host-side pointer swap, no device work.
-        vmap_before = self.vmap
+        # Stage the LiDAR scan for the batched map insert BEFORE the host
+        # sync, against the un-synced tracked pose (UpdateMap, Tracking.cc:
+        # 1603): it needs no host decision, and on the (rare) tracking
+        # failure the staged entry is simply dropped. The actual pool insert
+        # runs every ``insert_every`` frames (camera_scan_stage docstring).
+        staged_scan = None
         if self.lidar_enabled and scan is not None and not self.use_imu:
             with self.timers.stage("lidar_update"):
-                self.vmap = lio.camera_map_update(
-                    self.vmap, scan, jnp.asarray(scan_valid), res.T_cw,
+                staged_scan = lio.camera_scan_stage(
+                    scan, jnp.asarray(scan_valid), res.T_cw,
                     self.T_cl, jnp.float32(self.cfg.lidar.blind),
                     jnp.float32(self.cfg.lidar.map_voxel),
                     insert_cap=self.cfg.lidar.insert_cap,
                 )
+                self._lidar_pending.append(staged_scan)
 
         with self.timers.stage("sync"):
             n_inl = int(res.n_inliers)  # the frame's device->host sync
+        # resolve async host mirrors queued by the previous keyframe event
+        # (their device values are ready now — the frame sync drained the
+        # device queue past them)
+        self._drain_async()
 
         if n_inl < max(self.cfg.tracking.min_inliers, 10):
-            # the optimistic map update above used a failed pose: roll back
-            self.vmap = vmap_before
+            # the optimistic scan staging above used a failed pose: drop it
+            if staged_scan is not None and self._lidar_pending \
+                    and self._lidar_pending[-1] is staged_scan:
+                self._lidar_pending.pop()
+                staged_scan = None
             # motion-model pass came back weak: run the window-free global
             # re-acquisition + refinement (TrackReferenceKeyFrame's role) —
             # gated on the host so the common path never pays for it
@@ -486,9 +562,16 @@ class System:
         if n_inl < 10:
             self.state = TrackingState.RECENTLY_LOST
             self.n_lost += 1
-            # dead-reckon on the motion model (PredictStateIMU-style
-            # fallback): track_step already returned T_new = prediction
+            # dead-reckon: with a matured inertial stack, predict from the
+            # last keyframe's VI state + the since-KF preintegration
+            # (PredictStateIMU, Tracking.cc:1825 — the reference holds
+            # RECENTLY_LOST frames exactly this way, Tracking.cc:2069-2102);
+            # otherwise track_step already returned T_new = motion model
             self.last_T_cw = self.T_cw
+            if (self.use_imu and self._vi_initialized
+                    and self._imu_ring is not None and self._imu_ring_n > 0
+                    and not self._imu_ring_overflow):
+                T_new = self._predict_pose_imu()
             self.T_cw = T_new
             self.frames_since_kf += 1
             if self.n_lost >= self.cfg.tracking.recently_lost_frames:
@@ -504,6 +587,16 @@ class System:
         self.velocity = vel_new
         self.map = new_map
 
+        # deferred LocalMapping pass for the keyframe created last frame
+        # (LocalMapping thread semantics: tracking of frame k+1 proceeds
+        # while the KF-k mapping work runs; here it is dispatched now and
+        # overlaps THIS frame's remaining host work + the next H2D)
+        if self._pending_mapping is not None:
+            with self.timers.stage("mapping"):
+                kf_q = self._pending_mapping
+                self._pending_mapping = None
+                self._mapping_step(kf_q)
+
         # Tightly-coupled VI pose refinement (visual + IMU preintegration
         # prior at frame rate) once the inertial stack is initialized
         if self.use_imu and self._imu_initialized and self._vi_initialized:
@@ -511,18 +604,21 @@ class System:
             with self.timers.stage("vi_refine"):
                 self._vi_frame_refine(res)
 
-        # LiDAR map update: normally already dispatched pre-sync (above); on
-        # a recovery path the pre-sync insert used the failed pose — redo it
-        # at the recovered pose (the rollback restored the old map object).
-        if (self.vmap is vmap_before and self.lidar_enabled
+        # LiDAR scan staging: normally already done pre-sync (above); on a
+        # recovery path the pre-sync staging used the failed pose and was
+        # dropped — re-stage at the recovered pose.
+        if (staged_scan is None and self.lidar_enabled
                 and scan is not None and not self.use_imu):
             with self.timers.stage("lidar_update"):
-                self.vmap = lio.camera_map_update(
-                    self.vmap, scan, jnp.asarray(scan_valid), self.T_cw,
+                self._lidar_pending.append(lio.camera_scan_stage(
+                    scan, jnp.asarray(scan_valid), self.T_cw,
                     self.T_cl, jnp.float32(self.cfg.lidar.blind),
                     jnp.float32(self.cfg.lidar.map_voxel),
                     insert_cap=self.cfg.lidar.insert_cap,
-                )
+                ))
+        if len(self._lidar_pending) >= self.cfg.lidar.insert_every:
+            with self.timers.stage("lidar_update"):
+                self._lidar_flush()
 
         if self.localization_only:
             self.frames_since_kf += 1
@@ -549,6 +645,10 @@ class System:
 
     # ------------------------------------------------------------------
     def _create_keyframe(self, frame, t, scan, scan_valid, feat_lm, run_ba):
+        if self.lidar_enabled and not self.use_imu:
+            # the KF event reads the voxel map (plane gating + plane-feature
+            # selection) — land any staged scan batches first
+            self._lidar_flush()
         self.map, _kf_slot = mapstate.add_keyframe(
             self.map, self.T_cw, jnp.asarray(t, jnp.float32),
             frame.xy, frame.uvr, frame.level, frame.angle, frame.desc,
@@ -638,8 +738,12 @@ class System:
 
         self.ref_kf = kf_id
         # reference-KF track baseline = features now linked to landmarks
-        # (TrackedMapPoints semantics, not raw depth count)
-        self.ref_kf_tracked = int(jnp.sum(self.map.kf_feat_lm[kf_id] != mapstate.NO_LM))
+        # (TrackedMapPoints semantics, not raw depth count). Fetched
+        # asynchronously — resolved at the next frame's sync point; until
+        # then the previous baseline stands (one-frame lag, no blocking).
+        rkt = jnp.sum(self.map.kf_feat_lm[kf_id] != mapstate.NO_LM)
+        self._async_fetch(rkt)
+        self._ref_kf_tracked_dev = rkt
 
         # loop closing (per KF, when place recognition is available and the
         # config enables it — the parsed loopClosing flag is honored here)
@@ -648,8 +752,61 @@ class System:
             self._try_close_loop(kf_id)
 
         if run_ba and self.n_kf_host >= 3:
-            self._mapping_step(kf_id)
+            # defer the mapping pass to the next frame (LocalMapping-thread
+            # semantics); prefetch the covisibility window now so its
+            # device->host copy rides along with the keyframe device chain
+            self._pending_mapping = kf_id
+            neigh, w = mapstate.top_covisible(
+                self.map, jnp.int32(kf_id),
+                self.cfg.tracking.local_window - 1, min_weight=10,
+            )
+            self._async_fetch(neigh)
+            self._async_fetch(w)
+            self._covis_fetch = (neigh, w)
         return kf_id
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _async_fetch(arr):
+        """Start a non-blocking device->host copy (ignored where the
+        runtime lacks the API — the later blocking read still works)."""
+        try:
+            arr.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+
+    def _drain_async(self):
+        """Resolve async host mirrors (called right after the frame sync)."""
+        if self._ref_kf_tracked_dev is not None:
+            self.ref_kf_tracked = int(self._ref_kf_tracked_dev)
+            self._ref_kf_tracked_dev = None
+        if self._cull_fetch is not None:
+            killed = int(self._cull_fetch)
+            self._cull_fetch = None
+            if killed >= 0:
+                self.kf_alive[killed] = False
+
+    def _lidar_flush(self):
+        """Insert all staged scan batches into the voxel-map pool at once."""
+        if not self._lidar_pending:
+            return
+        pts = jnp.concatenate([p for p, _ in self._lidar_pending])
+        val = jnp.concatenate([v for _, v in self._lidar_pending])
+        self._lidar_pending = []
+        center = lie.translation(lie.se3_inverse(self.T_cw) @ self.T_cl)
+        self.vmap = lio.camera_map_flush(self.vmap, pts, val, center)
+
+    def flush_mapping(self):
+        """Run any deferred LocalMapping work now (System::Shutdown waits
+        for the mapping thread the same way). Call before reading final map
+        state or saving trajectories/checkpoints."""
+        if self._pending_mapping is not None:
+            kf_q = self._pending_mapping
+            self._pending_mapping = None
+            self._mapping_step(kf_q)
+        if self.lidar_enabled and not self.use_imu:
+            self._lidar_flush()
+        self._drain_async()
 
     # ------------------------------------------------------------------
     def _mapping_step(self, kf_id: int):
@@ -658,10 +815,16 @@ class System:
         MapPointCulling -> CreateNewMapPoints -> SearchInNeighbors/Fuse ->
         local (LVI-)BA -> KeyFrameCulling."""
         t = self.cfg.tracking
+        covis, self._covis_fetch = self._covis_fetch, None
         window, fixed = local_mapping.select_window(
             self.map, kf_id, t.local_window, n_kf=self.n_kf_host,
-            alive=self.kf_alive,
+            alive=self.kf_alive, covis=covis,
         )
+        # The mapping pass may run one frame after the KF (deferred): BA
+        # refines the reference KF's pose, and the CURRENT frame's pose must
+        # follow it relatively (exactly how the trajectory recomposes,
+        # Tracking.cc:2393-2411) — capture the pre-BA reference pose now.
+        T_ref_old = self.map.kf_T_cw[kf_id]
 
         with self.timers.stage("cull_lm"):
             self.map = culling.cull_landmarks(self.map, jnp.int32(kf_id))
@@ -718,8 +881,11 @@ class System:
                     max_active=t.ba_active_landmarks,
                     mesh=self.mesh,
                 )
-                # adopt the refined pose of this KF as the current pose
-                self.T_cw = self.map.kf_T_cw[kf_id]
+
+        # carry the BA's correction of the reference KF onto the current
+        # frame's pose: T_cw' = (T_cw o T_ref_old^-1) o T_ref_new
+        T_ref_new = self.map.kf_T_cw[kf_id]
+        self.T_cw = (self.T_cw @ lie.se3_inverse(T_ref_old)) @ T_ref_new
 
         if (t.cull_kf_every > 0 and kf_id % t.cull_kf_every == 0
                 and self.n_kf_host > t.local_window + 4):
@@ -730,27 +896,33 @@ class System:
     def _cull_keyframes(self, protect: set[int]):
         """KeyFrameCulling (LocalMapping.cc:913): invalidate the most
         redundant keyframe (>= cull_kf_redundancy of its landmarks observed
-        by >= 4 other KFs). Host-driven so kf_alive stays mirrored; culled
-        slots keep their (frozen) pose so per-frame relative trajectory
-        entries stay recomposable — slots are NOT recycled."""
-        red = np.asarray(culling.keyframe_redundancy(self.map))
-        best, best_r = -1, self.cfg.tracking.cull_kf_redundancy
-        for k in range(self.n_kf_host):
-            if k in protect or not self.kf_alive[k]:
-                continue
-            if red[k] > best_r:
-                best, best_r = k, red[k]
-        if best < 0:
-            return
-        kill = jnp.zeros(self.map.K, bool).at[best].set(True)
-        self.map = culling.remove_keyframes(self.map, kill)
-        self.kf_alive[best] = False
+        by >= 4 other KFs). Selection and all state updates run ON DEVICE;
+        the killed slot id rides back asynchronously and updates the host
+        ``kf_alive`` mirror at the next frame sync (one-frame lag — a culled
+        KF may appear in one more window with zero remaining observations,
+        which is inert). Culled slots keep their (frozen) pose so per-frame
+        relative trajectory entries stay recomposable — slots NOT recycled."""
+        K = self.map.K
+        pm = np.zeros(K, bool)
+        for k in protect:
+            if 0 <= k < K:
+                pm[k] = True
+        # not-yet-drained prior cull: protect nothing extra (kf_valid on
+        # device already reflects it)
+        self.map, killed = culling.cull_keyframes(
+            self.map, jnp.asarray(pm),
+            thresh=self.cfg.tracking.cull_kf_redundancy,
+        )
+        kill_mask = jnp.zeros(K, bool).at[jnp.clip(killed, 0, K - 1)].set(
+            killed >= 0)
         if self.lidar_enabled and self.lidar_store is not None:
             self.lidar_store = self.lidar_store._replace(
-                valid=self.lidar_store.valid.at[best].set(False)
+                valid=self.lidar_store.valid & ~kill_mask[:, None]
             )
         if self.voc is not None:
-            self.kf_words = self.kf_words.at[best].set(-1)
+            self.kf_words = jnp.where(kill_mask[:, None], -1, self.kf_words)
+        self._async_fetch(killed)
+        self._cull_fetch = killed
 
     # ------------------------------------------------------------------
     def _kf_body_poses(self, window_arr):
@@ -899,7 +1071,7 @@ class System:
             bg=self.imu_store.bg.at[window_arr].set(res.state.bg),
             ba=self.imu_store.ba.at[window_arr].set(res.state.ba),
         )
-        self.T_cw = self.map.kf_T_cw[kf_id]
+        # (the caller recomposes self.T_cw against the refined KF pose)
 
     # ------------------------------------------------------------------
     def _try_close_loop(self, kf_id: int):
@@ -950,6 +1122,8 @@ class System:
         Maps with < atlas_min_kf keyframes are discarded (ResetActiveMap);
         the new map initializes anchored at the current dead-reckoned pose
         on the next frame with enough stereo depth."""
+        # finish any deferred mapping on the old map before freezing it
+        self.flush_mapping()
         t = self.cfg.tracking
         bundle = atlas_mod.MapBundle(
             map=self.map,
@@ -983,6 +1157,10 @@ class System:
         self.kf_alive = [True] * t.max_kf
         self.ref_kf = -1
         self.ref_kf_tracked = 0
+        self._pending_mapping = None
+        self._covis_fetch = None
+        self._ref_kf_tracked_dev = None
+        self._cull_fetch = None
         self.frames_since_kf = 0
         self.n_lost = 0
         self.velocity = jnp.eye(4)
@@ -1003,6 +1181,7 @@ class System:
         their sub-map*; each sub-map's (possibly refined) KF pose array is
         fetched once. Frames whose sub-map was discarded fall back to the
         recorded relative pose against identity (dead-reckoned segment)."""
+        self.flush_mapping()  # deferred BA refinements land before export
         kf_T_by_map: dict[int, np.ndarray] = {self.map_id: np.asarray(self.map.kf_T_cw)}
         for bundle in self.atlas.frozen:
             kf_T_by_map[bundle.map_id] = np.asarray(bundle.map.kf_T_cw)

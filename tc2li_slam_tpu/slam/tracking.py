@@ -97,10 +97,7 @@ def track_frame(
     Xc = lie.se3_apply(T_cw_pred, X)
     uv_proj = cam_mod.project(cam, Xc)
     depth_ok = Xc[:, 2] > 0.1
-    in_img = (
-        (uv_proj[:, 0] >= 0) & (uv_proj[:, 0] < 2 * cam.cx + 64)
-        & (uv_proj[:, 1] >= 0) & (uv_proj[:, 1] < 2 * cam.cy + 64)
-    )
+    in_img = cam_mod.in_image(cam, uv_proj)
     # scale-invariance distance gate (isInFrustum)
     dist = jnp.linalg.norm(Xc, axis=-1)
     dist_ok = (dist >= 0.5 * m.lm_dist[:, 0]) & (dist <= 1.5 * jnp.maximum(m.lm_dist[:, 1], 1e-3))
@@ -279,8 +276,7 @@ def update_found_counters(
     dist = jnp.linalg.norm(Xc, axis=-1)
     in_view = (
         m.lm_valid & (Xc[:, 2] > 0.1)
-        & (uv[:, 0] >= 0) & (uv[:, 0] < 2 * cam.cx + 64)
-        & (uv[:, 1] >= 0) & (uv[:, 1] < 2 * cam.cy + 64)
+        & cam_mod.in_image(cam, uv)
         & (dist >= 0.5 * m.lm_dist[:, 0])
         & (dist <= 1.5 * jnp.maximum(m.lm_dist[:, 1], 1e-3))
         & frame_ok

@@ -130,3 +130,24 @@ def test_kb8_triangulate_matches(rng):
         cam, cam, uv1, jnp.asarray(uv2_bad), jnp.asarray(T_21), s2, s2
     )
     assert np.asarray(ok_bad)[:10].sum() <= 2
+
+
+def test_in_image_non_centered_intrinsics():
+    """Image-bounds gating must use configured width/height, not a
+    principal-point proxy (Frame::isInFrustum uses mnMaxX/Y, Frame.cc:542).
+    A cropped/asymmetric rig has cx far from width/2."""
+    cam = camera.Pinhole.create(fx=700.0, fy=700.0, cx=300.0, cy=185.0,
+                                width=1241, height=376)
+    uv = jnp.asarray([
+        [1000.0, 200.0],   # inside real bounds, outside 2*cx proxy (600)
+        [1240.9, 375.9],   # just inside
+        [1241.0, 100.0],   # just outside right edge
+        [100.0, 376.0],    # just outside bottom edge
+        [-0.5, 100.0],     # outside left
+    ])
+    got = np.asarray(camera.in_image(cam, uv))
+    assert got.tolist() == [True, True, False, False, False]
+    # default (no width/height given) falls back to the centered 2cx x 2cy box
+    cam_d = camera.Pinhole.create(fx=700.0, fy=700.0, cx=300.0, cy=185.0)
+    got_d = np.asarray(camera.in_image(cam_d, uv))
+    assert got_d.tolist() == [False, False, False, False, False]

@@ -54,13 +54,14 @@ def test_cull_keyframes_redundant(rng):
     m, k3 = add_kf(m, 3.0, f3, 3.0)
     # each lm now has 4 observations -> KF1 is fully redundant
     protect = jnp.zeros(m.K, bool).at[0].set(True).at[int(k3)].set(True)
-    m2 = culling.cull_keyframes(m, protect)
+    m2, kill_idx = culling.cull_keyframes(m, protect)
     # exactly one redundant KF culled per call (the reference re-evaluates
     # after each removal)
     killed = {k for k in (1, 2) if not bool(m2.kf_valid[k])}
     assert len(killed) == 1
     assert bool(m2.kf_valid[0]) and bool(m2.kf_valid[int(k3)])
     kdead = killed.pop()
+    assert int(kill_idx) == kdead
     assert not np.any(np.asarray(m2.lm_obs_kf) == kdead)
     assert int(m2.lm_n_obs[ids[0]]) == 3
 

@@ -114,17 +114,38 @@ def test_inertial_ba_matches_visual_long_run():
 
 @pytest.mark.slow
 def test_starved_visual_frames_held_by_tight_coupling():
-    """VERDICT r2 missing #1 done-criterion: frames whose visual matches are
-    artificially starved (<15 features) hold the trajectory when the
-    tightly-coupled per-frame VI optimizer runs, and degrade substantially
-    without it (visual-only per-frame pose, same LIO prediction).
-
-    Starvation: for a mid-sequence stretch, all but 12 extracted features
-    are masked out before tracking (simulating texture loss)."""
+    """VERDICT r2 missing #1 done-criterion, redesigned per VERDICT r3 #3:
+    starve the MECHANISM, not just the matches. During a mid-sequence
+    stretch (a) the extracted features are cut to a handful and perturbed
+    by pixel noise (texture loss + bad measurements) and (b) the LIO motion
+    prediction is corrupted every frame (a diverging filter). Both arms get
+    identical corruption; the only difference is the tightly-coupled
+    per-frame VI optimizer (PoseInertialOptimizationLast{KeyFrame,Frame} +
+    marginalization prior chain). The IMU preintegration factor is then the
+    only information that can hold the pose, so the VI arm must come out
+    substantially better — and the prior chain (optimize_last_frame) must
+    actually run across >= 3 consecutive starved frames."""
+    from tc2li_slam_tpu.geom import lie as lie_mod
     from tc2li_slam_tpu.slam import tracking as trk
 
     STARVE = set(range(22, 30))
-    KEEP = 12
+    KEEP = 14
+    PIX_NOISE = 2.0
+
+    class PiSpy:
+        """Proxy for the pose_inertial module counting prior-chain solves."""
+
+        def __init__(self, mod):
+            self._mod = mod
+            self.lf_frames = []
+            self.cur_frame = lambda: -1
+
+        def __getattr__(self, name):
+            return getattr(self._mod, name)
+
+        def optimize_last_frame(self, *a, **kw):
+            self.lf_frames.append(self.cur_frame())
+            return self._mod.optimize_last_frame(*a, **kw)
 
     def run(enable_vi_refine):
         cfg = dataclasses.replace(imu_cfg(), inertial_ba=True)
@@ -132,10 +153,26 @@ def test_starved_visual_frames_held_by_tight_coupling():
             n_frames=40, cam=syn.SMALL, seed=3, n_scan=2048,
         )
         slam = sys_mod.System(cfg)
+        spy = PiSpy(slam._pi)
+        spy.cur_frame = lambda: slam.frame_idx
+        slam._pi = spy
         if not enable_vi_refine:
             slam._vi_frame_refine = lambda res: None
+        # LIO-prediction corruption: ~9 cm + ~1.7 deg of extra relative
+        # motion per starved frame, applied after the real LIO step (which
+        # overwrites slam.velocity each frame) — same in both arms
+        corrupt = lie_mod.se3_exp(
+            jnp.asarray([0.06, 0.0, 0.06, 0.0, 0.03, 0.0]))
+        orig_lio = slam._lio_step
+        def lio_corrupted(*a, **kw):
+            out = orig_lio(*a, **kw)
+            if slam.frame_idx in STARVE:
+                slam.velocity = corrupt @ slam.velocity
+            return out
+        slam._lio_step = lio_corrupted
         T_bc = syn.body_from_cam()
         orig_build = trk.build_frame
+        noise_rng = np.random.default_rng(7)
 
         gt = []
         for k, fr in enumerate(frames):
@@ -143,7 +180,14 @@ def test_starved_visual_frames_held_by_tight_coupling():
                 def starved(*a, **kw):
                     f = orig_build(*a, **kw)
                     keep = jnp.zeros(f.valid.shape[0], bool).at[:KEEP].set(True)
-                    return f._replace(valid=f.valid & keep)
+                    dxy = jnp.asarray(
+                        noise_rng.normal(0.0, PIX_NOISE, (f.xy.shape[0], 2)),
+                        jnp.float32)
+                    return f._replace(
+                        valid=f.valid & keep,
+                        xy=f.xy + dxy,
+                        uvr=f.uvr.at[:, :2].add(dxy),
+                    )
                 trk.build_frame = starved
             else:
                 trk.build_frame = orig_build
@@ -157,11 +201,21 @@ def test_starved_visual_frames_held_by_tight_coupling():
                 trk.build_frame = orig_build
             gt.append(fr.T_wb_gt @ T_bc)
         est = slam.trajectory_world_from_cam()
-        return syn.ate_rmse(est, np.stack(gt))
+        return syn.ate_rmse(est, np.stack(gt)), spy.lf_frames
 
-    ate_vi = run(True)
-    ate_vo = run(False)
+    ate_vi, lf_vi = run(True)
+    ate_vo, _ = run(False)
     assert ate_vi < 0.12, f"VI-held ATE {ate_vi:.3f}"
     assert ate_vi < 0.7 * max(ate_vo, 1e-9), (
         f"tight coupling did not help: VI {ate_vi:.4f} vs visual-only {ate_vo:.4f}"
+    )
+    # the marginalization-prior chain must have been exercised on >= 3
+    # CONSECUTIVE starved frames (not just the easy unstarved stretches)
+    starved_lf = sorted(set(lf_vi) & STARVE)
+    runs, cur = [], 1
+    for a, b in zip(starved_lf, starved_lf[1:]):
+        cur = cur + 1 if b == a + 1 else 1
+        runs.append(cur)
+    assert runs and max(runs) >= 3, (
+        f"prior chain not exercised across starved frames: {starved_lf}"
     )
