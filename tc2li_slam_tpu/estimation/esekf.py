@@ -17,8 +17,10 @@ Design differences from the reference (deliberate, TPU-first):
   convergence mask (no data-dependent loop exit under jit). The measurement
   closure ``h_fn`` is re-evaluated each iteration, like ``h_share_model``.
 - The per-iteration tangent-basis re-projection of P (esekfom.hpp:1663-1700)
-  is applied for the SO(3) blocks via right-Jacobian transport at the final
-  update; the S2 block uses basis transport.
+  is implemented exactly: ``transport_jacobian`` computes L = ∂((x ⊞ δ) ⊟
+  x0)/∂δ by forward-mode autodiff through the module's own manifold ops and
+  enters both each GN iterate's prior term and the final covariance
+  (see ``update_iterated``), matching the reference's L/L_ matrices.
 """
 
 from __future__ import annotations
@@ -104,16 +106,26 @@ def s2_boxplus(g: jax.Array, delta2: jax.Array) -> jax.Array:
 
 
 def s2_boxminus(g1: jax.Array, g0: jax.Array) -> jax.Array:
-    """δ s.t. g0 ⊞ δ ≈ g1: rotation axis-angle from g0 to g1 in B(g0) coords."""
+    """δ s.t. g0 ⊞ δ ≈ g1: rotation axis-angle from g0 to g1 in B(g0) coords.
+
+    AD-smooth at g1 == g0: the rotation vector is written as
+    f(θ)·(n0 × n1) with f = θ/sin θ (Taylor-switched, no /‖cross‖) — the
+    earlier normalize-then-mask form had a ZERO derivative through the mask
+    at the origin, which silently dropped the gravity block from
+    ``transport_jacobian`` and with it the prior's gravity information."""
     n0 = g0 / jnp.maximum(jnp.linalg.norm(g0), 1e-12)
     n1 = g1 / jnp.maximum(jnp.linalg.norm(g1), 1e-12)
-    axis = jnp.cross(n0, n1)
-    s = jnp.linalg.norm(axis)
+    cross = jnp.cross(n0, n1)          # |cross| = sin(theta)
     c = jnp.dot(n0, n1)
-    theta = jnp.arctan2(s, c)
-    axis = axis / jnp.maximum(s, 1e-12)
-    w = jnp.where(s < 1e-9, jnp.zeros(3, g0.dtype), axis * theta)
-    return s2_basis(g0).T @ w
+    s2 = jnp.sum(cross * cross)
+    small = s2 < 1e-6
+    # theta / sin(theta): Taylor 1 + t^2/6 near 0 (t ~ sin t there), exact
+    # atan2 form elsewhere; double-where keeps both value and derivative
+    # finite on the unselected branch
+    s_safe = jnp.sqrt(jnp.where(small, 1.0, s2))
+    f_exact = jnp.arctan2(s_safe, c) / s_safe
+    f = jnp.where(small, 1.0 + s2 / 6.0, f_exact)
+    return s2_basis(g0).T @ (f * cross)
 
 
 # ---------------------------------------------------------------------------
@@ -131,6 +143,21 @@ def boxplus(x: State, dx: jax.Array) -> State:
         ba=x.ba + dx[BA],
         grav=s2_boxplus(x.grav, dx[GRAV]),
     )
+
+
+def transport_jacobian(x_new: State, x0: State) -> jax.Array:
+    """L = ∂((x_new ⊞ δ) ⊟ x0)/∂δ at δ = 0  ([23, 23]).
+
+    The per-iteration tangent-basis re-projection of the reference ESEKF
+    (esekfom.hpp:1663-1700): identity on Euclidean blocks, inverse right
+    Jacobian on the SO(3) blocks, 2x2 S2 transport for gravity. Computed
+    EXACTLY for this module's boxplus/boxminus conventions via forward-mode
+    autodiff (23 cheap JVPs through the manifold ops) instead of
+    hand-derived per-block formulas — bit-consistent with the retraction
+    actually used, and negligible next to the [M, 23] measurement work."""
+    return jax.jacfwd(
+        lambda d: boxminus(boxplus(x_new, d), x0)
+    )(jnp.zeros(ERR_DIM, x0.pos.dtype))
 
 
 def boxminus(x1: State, x0: State) -> jax.Array:
@@ -262,8 +289,15 @@ def update_iterated(
         HtH = H.T @ Hw                      # [23, 23]
         Htz = Hw.T @ z                      # [23]
         dx0 = boxminus(x_i, x0)
-        A = HtH + P0_inv
-        b = -(Htz + P0_inv @ dx0)
+        # Tangent-basis transport (esekfom.hpp:1663-1700): the prior term
+        # ||x ⊟ x0||^2_{P0^-1} linearized in the tangent AT THE ITERATE is
+        # ||dx0 + L δ||^2 with L = ∂((x_i ⊞ δ) ⊟ x0)/∂δ — identity on the
+        # Euclidean blocks, inverse right Jacobians on SO(3), the 2x2 S2
+        # transport for gravity.
+        Lj = transport_jacobian(x_i, x0)
+        LtP = Lj.T @ P0_inv
+        A = HtH + LtP @ Lj
+        b = -(Htz + LtP @ dx0)
         delta = jnp.linalg.solve(A, b)
         step_ok = jnp.logical_not(converged)
         x_next = boxplus(x_i, jnp.where(step_ok, delta, 0.0))
@@ -273,13 +307,15 @@ def update_iterated(
     carry = (x0, jnp.array(False), jnp.array(0, jnp.int32))
     (x_fin, _, iters), _ = jax.lax.scan(gn_step, carry, None, length=max_iters)
 
-    # Final covariance: P = (I - K H) P with K from the converged linearization.
+    # Final covariance in the tangent at the CONVERGED state:
+    # P = (H^T R^-1 H + L^T P0^-1 L)^-1 — the (I - K H) P form of the
+    # reference with its per-iteration L re-projection folded in.
     z, H, valid = h_fn(x_fin)
     w = valid.astype(z.dtype) * r_inv
     HtH = H.T @ (H * w[:, None])
-    S_inv = jnp.linalg.inv(HtH + P0_inv)
-    KH = S_inv @ HtH
-    P_new = (jnp.eye(ERR_DIM, dtype=P0.dtype) - KH) @ P0
+    Lf = transport_jacobian(x_fin, x0)
+    P_new = jnp.linalg.inv(HtH + Lf.T @ P0_inv @ Lf)
+    P_new = 0.5 * (P_new + P_new.T)
     return Filter(x_fin, P_new), iters
 
 

@@ -34,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..geom import camera as cam_mod, lie
 from ..solver import factors
-from ..solver.lm import BAObservations, precond_solve
+from ..solver.lm import BAObservations, inv3x3, precond_solve
 
 
 def make_mesh(devices=None, axis: str = "lm") -> Mesh:
@@ -81,8 +81,13 @@ def gn_step_fn(mesh: Mesh, cam: cam_mod.Pinhole):
         Jp = rr.J_pose * w[:, None, None]
         Hpp_blk = jnp.einsum("oij,oik->ojk", Jp, rr.J_pose)
         gp_blk = jnp.einsum("oij,oi->oj", Jp, rr.r)
-        Hpp = jnp.zeros((Pn, 6, 6)).at[pidx].add(Hpp_blk)
-        gp = jnp.zeros((Pn, 6)).at[pidx].add(gp_blk)
+        # one-hot pose-slot contraction: TPU scatter-add serializes, the
+        # dense [O, Pn] einsum rides the MXU (see lm.local_ba)
+        pi = jnp.clip(obs.pose_idx, 0, Pn - 1)
+        oh = (pi.reshape(-1)[:, None]
+              == jnp.arange(Pn)[None, :]).astype(jnp.float32)  # [O, Pn]
+        Hpp = jnp.einsum("op,ojk->pjk", oh, Hpp_blk)
+        gp = jnp.einsum("op,oj->pj", oh, gp_blk)
 
         Hll = jnp.sum(
             jnp.einsum("oij,oik->ojk", rr.J_lm * w[:, None, None], rr.J_lm
@@ -95,16 +100,18 @@ def gn_step_fn(mesh: Mesh, cam: cam_mod.Pinhole):
         lmw = valid_lm.astype(jnp.float32)
         Hll_d = Hll + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hll)) \
             + 1e-6 * jnp.eye(3)
-        Hll_inv = jnp.linalg.inv(Hll_d) * lmw[:, None, None]
+        Hll_inv = inv3x3(Hll_d) * lmw[:, None, None]
 
-        pi = jnp.clip(obs.pose_idx, 0, Pn - 1)
+        ohk = oh.reshape(L, K, Pn)
         BHinv = jnp.einsum("lkij,ljm->lkim", B, Hll_inv)
-        corr = jnp.einsum("lkim,lqjm->lkqij", BHinv, B)
+        U = jnp.einsum("lkp,lkim->lpim", ohk, BHinv)
+        V = jnp.einsum("lkp,lkjm->lpjm", ohk, B)
+        corr_pq = jnp.einsum("lpim,lqjm->pqij", U, V)
         S = jnp.zeros((Pn, Pn, 6, 6))
         S = S.at[jnp.arange(Pn), jnp.arange(Pn)].add(Hpp)
-        S = S.at[pi[:, :, None], pi[:, None, :]].add(-corr)
-        gcorr = jnp.einsum("lkim,lm->lki", BHinv, gl)
-        g_red = gp.at[pi.reshape(-1)].add(-gcorr.reshape(-1, 6))
+        S = S - corr_pq
+        gcorr = jnp.einsum("lpim,lm->pi", U, gl)
+        g_red = gp - gcorr
 
         # all-reduce the reduced camera system over ICI
         S = jax.lax.psum(S, "lm")
@@ -125,7 +132,7 @@ def gn_step_fn(mesh: Mesh, cam: cam_mod.Pinhole):
         dp = dp * free[:, None]
 
         # landmark back-substitution — local to this shard
-        dp_obs = dp[pi]
+        dp_obs = jnp.einsum("lkp,pj->lkj", ohk, dp)
         Bt_dp = jnp.einsum("lkij,lki->lj", B, dp_obs)
         dl = -jnp.einsum("lij,lj->li", Hll_inv, gl + Bt_dp) * lmw[:, None]
 

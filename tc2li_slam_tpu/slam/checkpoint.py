@@ -170,6 +170,15 @@ def load_system(path: str, cfg, voc=None):
         slam.gravity_vis = jnp.asarray(data["gravity_vis"])
         slam._imu_initialized = header["imu_initialized"]
         slam._vi_initialized = header.get("vi_initialized", False)
+        # host mirror of has_factor (one fetch here; the hot path never
+        # reads the device array again)
+        slam._has_factor_host = [
+            bool(v) for v in np.asarray(slam.imu_store.has_factor)
+        ]
+        # restart the staged-refinement ladder clock conservatively: a
+        # resumed run re-earns its VIBA1/VIBA2 rungs on fresh data
+        slam._vi_stage = 0
+        slam._vi_init_time = None
         # The per-frame VI ring (_imu_ring/_frame_prior/_prev_vi_state) is
         # NOT checkpointed: a restore mid-keyframe-interval would otherwise
         # preintegrate a truncated window against the pre-save KF anchor.

@@ -104,18 +104,24 @@ class ImuKfStore(NamedTuple):
 
 
 def window_factors(store: ImuKfStore, window: list[int],
-                   info_bg: float = 1e5, info_ba: float = 1e4):
+                   info_bg: float = 1e5, info_ba: float = 1e4,
+                   has_factor=None):
     """Assemble consecutive-pair ImuWindowFactors for a temporal KF window.
 
     Factor i connects window[i] -> window[i+1]; only valid when the window
     ids are consecutive KFs (factor stored at the later KF's slot).
-    """
+
+    ``has_factor``: optional host-side list mirror of ``store.has_factor``
+    — passing it avoids one blocking device->host fetch per window pair
+    (the System keeps such a mirror; it sets both in the same code path)."""
     P = len(window)
     idx = []
     valid = []
     for a, b in zip(window[:-1], window[1:]):
         idx.append(b)
-        valid.append(b == a + 1 and bool(store.has_factor[b]))
+        hf = has_factor[b] if has_factor is not None \
+            else bool(store.has_factor[b])
+        valid.append(b == a + 1 and hf)
     sl = jnp.asarray(idx, jnp.int32)
     return inertial_ba.ImuWindowFactors(
         dR=store.dR[sl], dV=store.dV[sl], dP=store.dP[sl],

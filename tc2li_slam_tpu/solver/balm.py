@@ -273,9 +273,15 @@ def _total_cov(c: VoxelClusters, T_wl: jax.Array):
 
 def eigen_cost(c: VoxelClusters, T_wl: jax.Array) -> jax.Array:
     """Window cost Σ_v coe_v · λ_min(cov_v), coe = N (evaluate_only_residual,
-    bavoxel.h:276; coe accumulation bavoxel.h:66-71)."""
+    bavoxel.h:276; coe accumulation bavoxel.h:66-71).
+
+    λ_min via the closed-form trigonometric solution (ops/plane_fit):
+    ``quadratic`` takes a 6W-dim Hessian through this cost, and the
+    elementwise form is ~20x cheaper to doubly-differentiate than
+    ``eigvalsh``'s decomposition-based autodiff rules."""
+    from ..ops.plane_fit import smallest_eigval_sym3
     cov, N_tot = _total_cov(c, T_wl)
-    lam_min = jnp.linalg.eigvalsh(cov)[:, 0]
+    lam_min = smallest_eigval_sym3(cov)
     w = c.valid.astype(cov.dtype) * N_tot
     return jnp.sum(w * lam_min)
 

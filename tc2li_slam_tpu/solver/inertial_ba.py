@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from ..geom import camera as cam_mod, lie
 from . import balm as balm_mod, factors
-from .lm import BAObservations, precond_solve as lm_precond_solve
+from .lm import BAObservations, inv3x3 as lm_inv3x3, \
+    precond_solve as lm_precond_solve
 
 D = 15  # per-KF state dim
 POSE = slice(0, 6)   # (rho, phi)
@@ -233,10 +234,16 @@ def lvi_ba(
         Hpp_blk = jnp.einsum("oij,oik->ojk", Jpw, J_pose)   # [O, 6, 6]
         gp_blk = jnp.einsum("oij,oi->oj", Jpw, r)
 
+        # one-hot pose-slot contraction instead of scatter-add (see
+        # lm.local_ba: TPU scatter serializes; this rides the MXU)
+        oh = (jnp.clip(obs.pose_idx, 0, P - 1).reshape(-1)[:, None]
+              == jnp.arange(P)[None, :]).astype(r.dtype)     # [O, P]
+        Hpp = jnp.einsum("op,ojk->pjk", oh, Hpp_blk)         # [P, 6, 6]
+        gp6 = jnp.einsum("op,oj->pj", oh, gp_blk)            # [P, 6]
         H = jnp.zeros((P, P, D, D), r.dtype)
-        H = H.at[pidx, pidx, POSE, POSE].add(Hpp_blk)
+        H = H.at[jnp.arange(P), jnp.arange(P), POSE, POSE].add(Hpp)
         g = jnp.zeros((P, D), r.dtype)
-        g = g.at[pidx, POSE].add(gp_blk)
+        g = g.at[:, POSE].add(gp6)
 
         Hi, gi, _ = _imu_terms(s, imu_fac, gravity)
         H = H + Hi
@@ -247,18 +254,19 @@ def lvi_ba(
         Hll = jnp.sum(Hll_blk.reshape(L, K, 3, 3), axis=1)
         gl = jnp.sum(gl_blk.reshape(L, K, 3), axis=1)
         B6 = jnp.einsum("oij,oik->ojk", Jpw, J_lm).reshape(L, K, 6, 3)
-        B = jnp.zeros((L, K, D, 3), r.dtype).at[:, :, POSE, :].set(B6)
 
         lmw = valid_lm.astype(r.dtype)
         Hll_d = Hll + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hll)) + 1e-6 * jnp.eye(3, dtype=r.dtype)
-        Hll_inv = jnp.linalg.inv(Hll_d) * lmw[:, None, None]
+        Hll_inv = lm_inv3x3(Hll_d) * lmw[:, None, None]
 
-        pi = jnp.clip(obs.pose_idx, 0, P - 1)
-        BHinv = jnp.einsum("lkij,ljm->lkim", B, Hll_inv)
-        corr = jnp.einsum("lkim,lqjm->lkqij", BHinv, B)
-        H = H.at[pi[:, :, None], pi[:, None, :]].add(-corr)
-        gcorr = jnp.einsum("lkim,lm->lki", BHinv, gl)
-        g = g.at[pi.reshape(-1)].add(-gcorr.reshape(-1, D))
+        ohk = oh.reshape(L, K, P)
+        BHinv6 = jnp.einsum("lkij,ljm->lkim", B6, Hll_inv)   # [L, K, 6, 3]
+        U = jnp.einsum("lkp,lkim->lpim", ohk, BHinv6)        # [L, P, 6, 3]
+        V = jnp.einsum("lkp,lkjm->lpjm", ohk, B6)            # [L, P, 6, 3]
+        corr_pq = jnp.einsum("lpim,lqjm->pqij", U, V)        # [P, P, 6, 6]
+        H = H.at[:, :, POSE, POSE].add(-corr_pq)
+        gcorr = jnp.einsum("lpim,lm->pi", U, gl)             # [P, 6]
+        g = g.at[:, POSE].add(-gcorr)
 
         free = (~fixed).astype(r.dtype)
         H = H * free[:, None, None, None] * free[None, :, None, None]
@@ -281,7 +289,7 @@ def lvi_ba(
         dx = -lm_precond_solve(Hd, g.reshape(-1)).reshape(P, D)
         dx = dx * free[:, None]
 
-        dp_per_obs = dx[pi][:, :, :6]  # pose part
+        dp_per_obs = jnp.einsum("lkp,pj->lkj", ohk, dx[:, :6])  # pose part
         Bt_dp = jnp.einsum("lkij,lki->lj", B6, dp_per_obs)
         dl = -jnp.einsum("lij,lj->li", Hll_inv, gl + Bt_dp) * valid_lm[:, None]
         return dx, dl

