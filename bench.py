@@ -23,6 +23,206 @@ import time
 
 import numpy as np
 
+# Nominal per-chip peaks by device_kind (bf16 TFLOP/s, HBM GB/s) for the
+# %-of-roofline column; override with BENCH_PEAK_TFLOPS / BENCH_PEAK_GBS.
+# f32 MXU throughput is taken as bf16/2. Values are public spec sheets.
+_PEAKS = {
+    "v4": (275.0, 1228.0),
+    "v5e": (197.0, 819.0),
+    "v5p": (459.0, 2765.0),
+    "v6e": (918.0, 1640.0),
+}
+
+
+def _devtime(fn, n=5, reps=3):
+    """Fetch-barrier device timing (block_until_ready is unreliable through
+    the tunnel; a tiny device->host fetch is the only trustworthy barrier)."""
+    import jax
+    import numpy as _np
+
+    def fetch(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _np.asarray(leaf.ravel()[0:1])
+
+    out = fn()
+    fetch(out)
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn()
+        fetch(out)
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best * 1e3
+
+
+def roofline_table(slam, frame, scan, scan_valid, cfg):
+    """Per-kernel ms + flops/bytes + % of nominal roofline for the frame
+    path's hot kernels, measured on the LIVE jitted functions with the
+    live map state (BASELINE's 'profiled to speed-of-light per chip')."""
+    import jax
+    import jax.numpy as jnp
+    from tc2li_slam_tpu.ops import matching, orb, voxel_map
+    from tc2li_slam_tpu.slam import lio, tracking
+
+    kind = jax.devices()[0].device_kind.lower()
+    peak_tf = float(os.environ.get("BENCH_PEAK_TFLOPS", 0)) or next(
+        (v[0] for k, v in _PEAKS.items() if k in kind), 459.0)
+    peak_gbs = float(os.environ.get("BENCH_PEAK_GBS", 0)) or next(
+        (v[1] for k, v in _PEAKS.items() if k in kind), 2765.0)
+    peak_f32 = peak_tf / 2.0
+
+    m = slam.map
+    F = frame.xy.shape[0]
+    L = m.L
+    H, W = 376, 1241
+    img = jnp.asarray(np.zeros((H, W), np.float32))
+    rows = {}
+
+    def add(name, ms, gflop=None, gbyte=None, note=""):
+        row = {"ms": round(ms, 2)}
+        if gflop is not None:
+            gfs = gflop / (ms * 1e-3)
+            row["gflop"] = round(gflop, 2)
+            row["gflops"] = round(gfs, 0)
+            row["pct_f32_peak"] = round(100.0 * gfs / (peak_f32 * 1e3), 1)
+        if gbyte is not None:
+            gbs = gbyte / (ms * 1e-3)
+            row["gbyte"] = round(gbyte, 3)
+            row["gbps"] = round(gbs, 0)
+            row["pct_hbm_peak"] = round(100.0 * gbs / peak_gbs, 1)
+        if gflop is not None and gbyte is not None:
+            cf = (gflop / (peak_f32 * 1e3))
+            mf = (gbyte / peak_gbs)
+            row["bound"] = "compute" if cf > mf else "memory"
+        if note:
+            row["note"] = note
+        rows[name] = row
+
+    # ORB extraction: 8-level pyramid, FAST + blur + orientation + rBRIEF.
+    # Memory model: ~12 full-image reads/writes across levels (sum 1/s^2i
+    # ~ 2.1x base) at f32.
+    ms = _devtime(lambda: orb.extract(
+        img, n_features=cfg.orb.n_features, n_levels=cfg.orb.n_levels))
+    add("orb_extract (1 img)", ms, gbyte=12 * 2.1 * H * W * 4 / 1e9,
+        note="pyramid+FAST+rBRIEF; bandwidth model")
+
+    # full frame build (2x ORB + stereo row-band match + subpixel)
+    ms = _devtime(lambda: tracking.build_frame(
+        img, img, slam.cam, slam.scale_factors,
+        n_features=cfg.orb.n_features, n_levels=cfg.orb.n_levels))
+    add("build_frame (stereo pair)", ms)
+
+    # Hamming projection match: [L, F] x 8 words x (xor+popcnt+acc)
+    ms = _devtime(lambda: matching.hamming_matrix(m.lm_desc, frame.desc))
+    add("hamming [32k x 2000]", ms, gflop=L * F * 8 * 3 / 1e9,
+        gbyte=(L * 32 + F * 32 + L * F * 4) / 1e9,
+        note="int ops counted as flops")
+
+    # fused tracking step (3 matching passes + pose-only LM)
+    key = jax.random.PRNGKey(0)
+    ms = _devtime(lambda: tracking.track_step(
+        m, frame, slam.T_cw, slam.velocity, key, slam.cam,
+        slam.scale_factors, slam.sigma2, jnp.asarray(9.0, jnp.float32)))
+    add("track_step (match+LM)", ms, gflop=3 * L * F * 8 * 3 / 1e9)
+
+    if slam.vmap is not None:
+        # voxel-map insert: (N+B)-key stable sort + compaction
+        staged = lio.camera_scan_stage(
+            scan, jnp.asarray(scan_valid), slam.T_cw, slam.T_cl,
+            jnp.float32(cfg.lidar.blind), jnp.float32(cfg.lidar.map_voxel),
+            insert_cap=cfg.lidar.insert_cap)
+        ms = _devtime(lambda: lio.camera_scan_stage(
+            scan, jnp.asarray(scan_valid), slam.T_cw, slam.T_cl,
+            jnp.float32(cfg.lidar.blind), jnp.float32(cfg.lidar.map_voxel),
+            insert_cap=cfg.lidar.insert_cap))
+        add("scan_stage (prep+ds 131k)", ms,
+            gbyte=scan.shape[0] * 16 * 4 / 1e9, note="sort-bound")
+        N = slam.vmap.keys.shape[0]
+        B = staged[0].shape[0]
+        ms = _devtime(lambda: voxel_map.insert(
+            slam.vmap, staged[0], staged[1]), n=3)
+        add("voxel insert 32k->pool", ms,
+            gbyte=(N + B) * 16 * np.log2(max(N + B, 2)) / 1e9,
+            note="(N+B) stable sort model")
+        q = m.lm_pos[:512]
+        ms = _devtime(lambda: voxel_map.knn(slam.vmap, q, k=5, radius=2))
+        add("knn 512q r2", ms)
+
+    if slam.voc is not None:
+        from tc2li_slam_tpu.ops import bow
+        ms = _devtime(lambda: bow.quantize(
+            slam.voc, frame.desc, frame.valid, slam.voc.depth))
+        add(f"bow quantize {F}f depth{slam.voc.depth}", ms)
+
+    # ORBvoc-scale vocabulary quantization (k=10, depth=6 — the shape of
+    # the reference's 1M-word ORBvoc.txt): complete-tree synthetic vocab,
+    # lock-step descent of all features
+    from tc2li_slam_tpu.ops import bow as bow_mod
+    kk, LL = 10, 6
+    n_int = (kk ** LL - 1) // (kk - 1)
+    n_nodes = n_int + kk ** LL
+    idx = jnp.arange(n_nodes)
+    ch = idx[:, None] * kk + 1 + jnp.arange(kk)[None, :]
+    ch = jnp.where(ch < n_nodes, ch, -1).astype(jnp.int32)
+    rngv = np.random.default_rng(0)
+    voc_big = bow_mod.Vocabulary(
+        node_desc=jnp.asarray(rngv.integers(
+            0, 2 ** 32, (n_nodes, 8), dtype=np.uint32)),
+        children=ch,
+        is_leaf=idx >= n_int,
+        word_id=jnp.where(idx >= n_int, idx - n_int, -1).astype(jnp.int32),
+        weight=jnp.ones(n_nodes, jnp.float32),
+        k=kk, depth=LL, n_words=kk ** LL,
+    )
+    ms = _devtime(lambda: bow_mod.quantize(
+        voc_big, frame.desc, frame.valid, LL))
+    add(f"bow quantize {F}f ORBvoc-scale k10 d6", ms,
+        gbyte=LL * F * kk * 32 / 1e9, note="gather-bound tree descent")
+
+    return {"device_kind": jax.devices()[0].device_kind,
+            "nominal_peak_bf16_tflops": peak_tf,
+            "nominal_peak_hbm_gbps": peak_gbs,
+            "kernels": rows}
+
+
+def run_imu_mode(frames, cfg, n_frames, n_warm):
+    """IMU_STEREO_LIDAR throughput (ESEKF scan step + VI refine + LVI-BA) —
+    the paper's flagship mode was perf-blind through round 3."""
+    import dataclasses
+
+    from tc2li_slam_tpu.io import synthetic as syn
+    from tc2li_slam_tpu.slam import system as sys_mod
+
+    icfg = dataclasses.replace(
+        cfg, use_imu=True, inertial_ba=True,
+        imu=type(cfg.imu)(
+            noise_gyro=1e-4, noise_acc=1e-3, gyro_walk=1e-6, acc_walk=1e-5,
+            T_bc=syn.body_from_cam(),
+        ),
+    )
+    slam = sys_mod.System(icfg)
+    for fr in frames[:n_warm]:
+        slam.track(fr.img_l, fr.img_r, fr.t, fr.scan, fr.scan_valid,
+                   gyro=fr.gyro, acc=fr.acc, imu_dts=fr.imu_dts,
+                   imu_trel=fr.imu_trel, scan_times=fr.scan_times)
+    slam.timers.reset()
+    t0 = time.perf_counter()
+    for fr in frames[n_warm:n_warm + n_frames]:
+        slam.track(fr.img_l, fr.img_r, fr.t, fr.scan, fr.scan_valid,
+                   gyro=fr.gyro, acc=fr.acc, imu_dts=fr.imu_dts,
+                   imu_trel=fr.imu_trel, scan_times=fr.scan_times)
+    dt = time.perf_counter() - t0
+    st = slam.timers.stats()
+    return {
+        "fps": round(n_frames / dt, 3),
+        "stage_ms_per_frame": {
+            k: round(v["total_s"] * 1e3 / n_frames, 2)
+            for k, v in sorted(st.items())},
+        "vi_initialized": bool(slam._vi_initialized),
+        "vi_stage": slam._vi_stage,
+    }
+
 
 def main():
     if os.environ.get("BENCH_PLATFORM"):
@@ -110,6 +310,27 @@ def main():
     track_ms = stages.get("track_step", None)
     eff_gops = (hamming_ops / (track_ms * 1e-3) / 1e9) if track_ms else None
 
+    # Per-kernel roofline table on the live state (skip with BENCH_ROOFLINE=0)
+    roofline = None
+    if os.environ.get("BENCH_ROOFLINE", "1") != "0":
+        from tc2li_slam_tpu.slam import tracking as trk_mod
+        import jax.numpy as jnp
+        fr0 = frames[-1]
+        fb = trk_mod.build_frame(
+            jnp.asarray(fr0.img_l), jnp.asarray(fr0.img_r), slam.cam,
+            slam.scale_factors, n_features=cfg.orb.n_features,
+            n_levels=cfg.orb.n_levels)
+        roofline = roofline_table(
+            slam, fb, slam._scan_to_device(scans_q[-1]),
+            fr0.scan_valid, cfg)
+
+    # IMU_STEREO_LIDAR mode variant (skip with BENCH_IMU=0)
+    imu_mode_res = None
+    if os.environ.get("BENCH_IMU", "1") != "0":
+        n_imu = min(int(os.environ.get("BENCH_IMU_FRAMES", "40")),
+                    len(frames) - n_warm)
+        imu_mode_res = run_imu_mode(frames, cfg, n_imu, n_warm)
+
     n_kf = int(slam.map.n_kf)
     print(json.dumps({
         "metric": "tracked frames/sec/chip (stereo+LiDAR, KITTI-shaped synthetic)",
@@ -124,6 +345,8 @@ def main():
         "landmarks": int(slam.map.n_lm),
         "stage_ms_per_frame": stages,
         "hamming_effective_gops": round(eff_gops, 1) if eff_gops else None,
+        "roofline": roofline,
+        "imu_mode": imu_mode_res,
         "datagen_s": round(t_gen, 1),
         "platform": jax.devices()[0].platform,
     }))

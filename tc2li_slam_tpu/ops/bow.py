@@ -75,6 +75,17 @@ def quantize(voc: Vocabulary, desc: jax.Array, valid: jax.Array, depth: int):
 # Place-recognition scoring
 # ---------------------------------------------------------------------------
 
+def word_idf(voc: Vocabulary) -> jax.Array:
+    """[n_words] idf weight per WORD id (leaf enumeration) — the per-node
+    weights re-indexed by word id, for weighting shared-word scores the way
+    DBoW2's tf-idf scoring does (TemplatedVocabulary::setNodeWeights)."""
+    wid = jnp.clip(voc.word_id, 0, max(voc.n_words - 1, 0))
+    out = jnp.zeros((max(voc.n_words, 1),), jnp.float32)
+    return out.at[jnp.where(voc.is_leaf, wid, voc.n_words - 1)].max(
+        jnp.where(voc.is_leaf, voc.weight, 0.0), mode="drop"
+    )
+
+
 @jax.jit
 def shared_word_scores(
     query_words: jax.Array,     # [F] sorted word ids (-1 pad at front ok)

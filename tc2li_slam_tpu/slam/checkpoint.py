@@ -191,6 +191,7 @@ def load_system(path: str, cfg, voc=None):
     slam.state = header["state"]
     slam.ref_kf = header["ref_kf"]
     slam.n_kf_host = header["n_kf_host"]
+    slam.n_lm_host = int(np.asarray(slam.map.n_lm))  # BA-bucket mirror
     slam.ref_kf_tracked = header["ref_kf_tracked"]
     slam.frames_since_kf = header["frames_since_kf"]
     slam.frame_idx = header["frame_idx"]

@@ -42,6 +42,7 @@ def detect_candidates(
     kf_words: jax.Array,     # [K, F] sorted word ids
     min_gap: int = 20,
     n_best: int = 3,
+    word_weights: jax.Array | None = None,   # [n_words] idf per word id
 ):
     """BoW loop candidates for keyframe ``kf_id``, with the reference's
     full gating ladder (KeyFrameDatabase::DetectLoopCandidates,
@@ -57,8 +58,18 @@ def detect_candidates(
     """
     query = kf_words[kf_id]
     wq = jnp.sort(query)
+    if word_weights is not None:
+        # idf weighting (DBoW2 tf-idf): a shared RARE word is evidence of a
+        # revisit, a shared common word is not — without this a small or
+        # saturated vocabulary scores every keyframe pair near the maximum
+        # and candidate ranking degenerates to noise
+        qweights = jnp.where(
+            wq >= 0, word_weights[jnp.clip(wq, 0, word_weights.shape[0] - 1)],
+            0.0)
+    else:
+        qweights = (wq >= 0).astype(jnp.float32)
     counts, scores = bow.shared_word_scores(
-        wq, jnp.ones_like(wq, jnp.float32), kf_words, m.kf_valid
+        wq, qweights, kf_words, m.kf_valid
     )
     covis_w = mapstate.covisibility_weights(m, jnp.int32(kf_id))
 
@@ -198,8 +209,15 @@ def close_loop(
         weight=jnp.asarray(ww, jnp.float32),
         valid=jnp.ones(E, bool),
     )
+    # Anchor ONLY the loop candidate plus the never-used tail slots.
+    # Culled keyframes stay FREE vertices: they sit on the temporal chain
+    # (edges above run over every slot < n_kf) and their frozen poses still
+    # anchor per-frame trajectory recomposition — holding them fixed pins
+    # the whole drifted segment at its drifted pose through their chain
+    # edges and silently cancels the loop correction (measured: a ~0.3 m
+    # injected gauge jump survived an accepted loop closure untouched).
     fixed = jnp.zeros(K, bool).at[cand_id].set(True)
-    fixed = fixed | ~m.kf_valid  # only optimize live KFs
+    fixed = fixed | (jnp.arange(K) >= n_kf)
 
     S_new = sim3_mod.pose_graph_optimize(S_w, edges, fixed, iters=iters)
 

@@ -81,15 +81,27 @@ def relocalize(
     if best is None or best[0] < min_inliers // 2:
         return RelocResult(False, jnp.eye(4), None, 0 if best is None else best[0])
 
-    # final guided refinement at the PnP pose (the reference re-optimizes and
-    # widens the search when inliers are thin, Tracking.cc:3583-3622)
+    # Guided refinement retry ladder at the PnP pose (Tracking.cc:3583-3622:
+    # when the first re-optimization lands < 50 inliers the reference widens
+    # SearchByProjection th 10 -> 15 around the refined pose and
+    # re-optimizes up to two more times before giving up).
+    sf = jnp.asarray([1.2 ** i for i in range(8)], jnp.float32)
     res2 = tracking.track_frame(
-        m, frame, best[1], cam,
-        jnp.asarray([1.2 ** i for i in range(8)], jnp.float32), sigma2,
-        jnp.float32(10.0),
+        m, frame, best[1], cam, sf, sigma2, jnp.float32(10.0),
     )
-    if int(res2.n_inliers) >= min_inliers:
-        return RelocResult(True, res2.T_cw, res2.feat_lm, int(res2.n_inliers))
+    n2 = int(res2.n_inliers)
+    if n2 < 50:
+        for _ in range(2):
+            T_seed = res2.T_cw if n2 >= min_inliers // 2 else best[1]
+            res_w = tracking.track_frame(
+                m, frame, T_seed, cam, sf, sigma2, jnp.float32(15.0),
+            )
+            if int(res_w.n_inliers) > n2:
+                res2, n2 = res_w, int(res_w.n_inliers)
+            if n2 >= 50:
+                break
+    if n2 >= min_inliers:
+        return RelocResult(True, res2.T_cw, res2.feat_lm, n2)
     if best[0] >= min_inliers:
         return RelocResult(True, best[1], best[2], best[0])
     return RelocResult(False, best[1], best[2], best[0])

@@ -88,6 +88,8 @@ class System:
         self.last_T_cw = jnp.eye(4)
         self.ref_kf = -1
         self.n_kf_host = 0                # host mirror of map.n_kf (no sync)
+        self.n_lm_host = 0                # async host mirror of map.n_lm
+        self._n_lm_dev = None
         self.kf_alive = [True] * t.max_kf  # host mirror of kf_valid
         self.ref_kf_tracked = 0
         self.frames_since_kf = 0
@@ -117,6 +119,8 @@ class System:
         self._cull_fetch = None           # async culled-slot id
         # staged (points_w, valid) scan batches awaiting the pooled insert
         self._lidar_pending: list = []
+        self._last_staged_scan = None     # this frame's staged scan (reused
+        #                                   by _store_kf_lidar at KF events)
 
         # --- IMU_STEREO_LIDAR mode state (LidarInertialProcess + inertial BA)
         self.use_imu = cfg.use_imu
@@ -530,6 +534,7 @@ class System:
                     insert_cap=self.cfg.lidar.insert_cap,
                 )
                 self._lidar_pending.append(staged_scan)
+                self._last_staged_scan = staged_scan
 
         with self.timers.stage("sync"):
             n_inl = int(res.n_inliers)  # the frame's device->host sync
@@ -622,12 +627,14 @@ class System:
         if (staged_scan is None and self.lidar_enabled
                 and scan is not None and not self.use_imu):
             with self.timers.stage("lidar_update"):
-                self._lidar_pending.append(lio.camera_scan_stage(
+                restaged = lio.camera_scan_stage(
                     scan, jnp.asarray(scan_valid), self.T_cw,
                     self.T_cl, jnp.float32(self.cfg.lidar.blind),
                     jnp.float32(self.cfg.lidar.map_voxel),
                     insert_cap=self.cfg.lidar.insert_cap,
-                ))
+                )
+                self._lidar_pending.append(restaged)
+                self._last_staged_scan = restaged
         if len(self._lidar_pending) >= self.cfg.lidar.insert_every:
             with self.timers.stage("lidar_update"):
                 self._lidar_flush()
@@ -758,6 +765,9 @@ class System:
         rkt = jnp.sum(self.map.kf_feat_lm[kf_id] != mapstate.NO_LM)
         self._async_fetch(rkt)
         self._ref_kf_tracked_dev = rkt
+        # landmark-count mirror (sizes the BA's active-landmark bucket)
+        self._async_fetch(self.map.n_lm)
+        self._n_lm_dev = self.map.n_lm
 
         # loop closing (per KF, when place recognition is available and the
         # config enables it — the parsed loopClosing flag is honored here)
@@ -802,6 +812,9 @@ class System:
         if self._ref_kf_tracked_dev is not None:
             self.ref_kf_tracked = int(self._ref_kf_tracked_dev)
             self._ref_kf_tracked_dev = None
+        if self._n_lm_dev is not None:
+            self.n_lm_host = int(self._n_lm_dev)
+            self._n_lm_dev = None
         if self._cull_fetch is not None:
             killed = int(self._cull_fetch)
             self._cull_fetch = None
@@ -829,6 +842,20 @@ class System:
         if self.lidar_enabled and not self.use_imu:
             self._lidar_flush()
         self._drain_async()
+
+    # ------------------------------------------------------------------
+    def _ba_active_bucket(self) -> int:
+        """Power-of-2 active-landmark budget for the windowed BA, sized from
+        the (async-mirrored) landmark count: the Schur cost scales linearly
+        with the budget, and a young map solving at the full configured cap
+        wastes 2-4x on padded rows (530 -> 209 -> ~120 ms measured). Few
+        distinct buckets -> few compile variants."""
+        cap = self.cfg.tracking.ba_active_landmarks
+        hint = int(self.n_lm_host * 1.25) + 512   # headroom: mirror lags 1 KF
+        b = 1024
+        while b < hint and b < cap:
+            b *= 2
+        return min(b, cap)
 
     # ------------------------------------------------------------------
     def _mapping_step(self, kf_id: int):
@@ -904,7 +931,7 @@ class System:
                     iters=t.ba_iters,
                     n_kf=self.n_kf_host,
                     window=window, fixed=fixed,
-                    max_active=t.ba_active_landmarks,
+                    max_active=self._ba_active_bucket(),
                     mesh=self.mesh,
                 )
 
@@ -973,10 +1000,12 @@ class System:
 
     # (priorG, priorA) bias-prior weights per refinement stage — the
     # reference's 1e2/1e10 -> 1/1e5 -> 0/0 ladder (LocalMapping.cc:220-243),
-    # rescaled for the floored-covariance factors (imu_mode.SIGMA_*_FLOOR):
-    # stage 2 uses a tiny positive weight instead of 0 so weakly observed
-    # bias directions stay bounded in f32.
-    VI_STAGE_PRIORS = ((1e2, 1e6), (1.0, 1e4), (1e-2, 1e-2))
+    # rescaled for the floored-covariance factors (imu_mode.SIGMA_*_FLOOR).
+    # The floors bound the factors' information, so a ~zero prior would let
+    # the weakly observed bias directions overfit them (measured: free
+    # stage-2 ba overshooting 3x its true value); the last rung therefore
+    # keeps a small positive weight.
+    VI_STAGE_PRIORS = ((1e2, 1e6), (1.0, 1e4), (0.1, 1e3))
     VI_STAGE_TIMES = (0.0, 5.0, 15.0)   # elapsed-since-init gates (s)
 
     def _initialize_imu(self, kf_id: int, stage: int = 0):
@@ -1005,17 +1034,17 @@ class System:
         if n_fac < 3:
             return
         T_wb = self._kf_body_poses(window_arr)
-        # Gravity frame. First init: the ESEKF static-init estimate when
-        # available (the LIO owns gravity — fixed visual poses would leak
-        # their correlated rotation errors into a re-estimated direction),
-        # else the preintegrated-velocity bootstrap. Refinement stages
-        # (>= 1): the keyframe map is mature and its poses are BA-refined,
-        # so re-estimate gravity seeded at the current value — this is what
-        # tightens a bias-corrupted static-init estimate.
-        if stage >= 1:
-            R_wg0 = inertial_init.gravity_to_rwg(self.gravity_vis)
-            fix_gravity = False
-        elif self._imu_initialized:
+        # Gravity frame. With a RUNNING LIO the ESEKF owns gravity at every
+        # stage: its S2 state is continuously corrected by the point-to-
+        # plane updates and is strictly more accurate than a re-estimate
+        # against fixed visual poses + covariance-floored factors (measured:
+        # a free stage-2 re-estimate DEGRADED gravity 0.6 -> 1.7 deg while
+        # lowering the floored-factor cost — overfitting). The refinement
+        # rungs therefore loosen only the bias/velocity priors here; gravity
+        # is re-estimated only when no LIO estimate exists (visual-inertial
+        # bootstrap), which is the case the reference's free-gravity ladder
+        # actually addresses.
+        if self._imu_initialized:
             R_wg0 = inertial_init.gravity_to_rwg(self.gravity_vis)
             fix_gravity = True
         else:
@@ -1088,7 +1117,7 @@ class System:
         # 15-dof LVI Schur cross-terms are even bigger than the visual ones
         lm_active_full = jnp.any(ok, axis=1) & self.map.lm_valid
         sel = jnp.argsort(~lm_active_full)[
-            : self.cfg.tracking.ba_active_landmarks].astype(jnp.int32)
+            : self._ba_active_bucket()].astype(jnp.int32)
         obs = BAObservations(pose_idx=win_pos[sel], uv=uvr[sel],
                              inv_sigma2=inv_s2[sel], stereo=stereo[sel],
                              valid=ok[sel])
@@ -1157,9 +1186,18 @@ class System:
     def _try_close_loop(self, kf_id: int):
         """Loop detection + Sim3 verification + pose-graph correction
         (the LoopClosing thread's job, run synchronously per keyframe)."""
+        # closure cooldown (LoopClosing::DetectLoop's mLastLoopKFid + 10
+        # gate): immediately re-closing from the next keyframes re-solves
+        # the graph against an already-corrected chain and accumulates
+        # correction noise instead of information
+        if kf_id < getattr(self, "_last_loop_kf", -100) + 10:
+            return
+        if not hasattr(self, "_word_idf"):
+            self._word_idf = bow.word_idf(self.voc)
         cands = loop_closing.detect_candidates(
             self.map, kf_id, self.kf_words,
             min_gap=self.cfg.loop_min_gap, n_best=3,
+            word_weights=self._word_idf,
         )
         for cand in cands:
             self._rng_key, sub = jax.random.split(self._rng_key)
@@ -1171,22 +1209,72 @@ class System:
             )
             if ok:
                 self.map = loop_closing.close_loop(self.map, kf_id, cand, S)
+                # Post-closure refinement (the loop-closing family's
+                # follow-up full BA, Optimizer::BundleAdjustment /
+                # Optimizer.cc:62): the pose graph only redistributes the
+                # loop error along poses — a joint pose+structure solve over
+                # BOTH loop endpoints' neighborhoods welds the re-mapped
+                # landmarks to the corrected poses. Windowed to the loop
+                # region (the rest of the map was consistent already).
+                if getattr(self, "_post_loop_ba", True):
+                    self._global_ba(anchor=cand)
                 # current pose follows the corrected keyframe
                 self.T_cw = self.map.kf_T_cw[kf_id]
                 self.velocity = jnp.eye(4)
                 self.n_loops_closed = getattr(self, "n_loops_closed", 0) + 1
+                self._last_loop_kf = kf_id
                 break
+
+    # ------------------------------------------------------------------
+    GLOBAL_BA_KFS = 64
+
+    def _global_ba(self, anchor: int, iters: int = 8):
+        """Global bundle adjustment after a loop closure (the follow-up
+        full BA of the loop-closing family, Optimizer::BundleAdjustment /
+        Optimizer.cc:62). The Sim3 pose graph can only DISTRIBUTE the loop
+        error smoothly along the chain; the landmarks co-observed across
+        the drift boundary are what concentrates the correction where the
+        error actually accumulated — that takes a joint pose+structure
+        solve over the whole (recent) map. Windowed to the newest
+        GLOBAL_BA_KFS alive keyframes (one extra compiled BA variant)."""
+        alive = [k for k in range(self.n_kf_host) if self.kf_alive[k]]
+        window = alive[-self.GLOBAL_BA_KFS:]
+        if len(window) < 3:
+            return
+        fixed = [(w == anchor) if anchor in window else (w == window[0])
+                 for w in window]
+        pad = self.GLOBAL_BA_KFS - len(window)
+        self.map = local_mapping.run_local_ba(
+            self.map, None, window[-1], self.cam, self.sigma2, self.T_cl,
+            n_window=self.GLOBAL_BA_KFS, w_lba=0.0, iters=iters,
+            n_kf=self.n_kf_host,
+            window=window + [mapstate.NO_KF] * pad,
+            fixed=fixed + [True] * pad,
+            max_active=self._ba_active_bucket(),
+        )
 
     # ------------------------------------------------------------------
     def _store_kf_lidar(self, kf_id, scan, scan_valid):
         """Downsample + planar-select the KF's scan (feature_extraction)."""
-        scan = jnp.asarray(scan)
-        keep = pointcloud.preprocess(
-            scan, jnp.zeros(scan.shape[0]), jnp.asarray(scan_valid),
-            blind=self.cfg.lidar.blind,
-        )
-        ds, dsv = pointcloud.voxel_downsample(scan, keep, self.cfg.lidar.scan_voxel)
         T_wl = lie.se3_inverse(self.T_cw) @ self.T_cl
+        staged = getattr(self, "_last_staged_scan", None)
+        if (not self.use_imu and staged is not None
+                and self.cfg.lidar.scan_voxel == self.cfg.lidar.map_voxel):
+            # this frame's scan was already preprocessed + voxel-downsampled
+            # for the map-insert staging (camera_scan_stage) at the SAME
+            # voxel size — reuse it instead of re-running the 131k-point
+            # preprocess chain (~15 ms/KF on chip); the staged points are
+            # world-frame, transform back into the LiDAR frame
+            pts_w, dsv = staged
+            ds = lie.se3_apply(lie.se3_inverse(T_wl), pts_w)
+        else:
+            scan = jnp.asarray(scan)
+            keep = pointcloud.preprocess(
+                scan, jnp.zeros(scan.shape[0]), jnp.asarray(scan_valid),
+                blind=self.cfg.lidar.blind,
+            )
+            ds, dsv = pointcloud.voxel_downsample(
+                scan, keep, self.cfg.lidar.scan_voxel)
         planar = lio.select_plane_features(self.vmap, ds, dsv, T_wl, self.lio_cfg)
         # compact the best kf_points planar points to the front
         n = self.lidar_store.points.shape[1]
@@ -1237,6 +1325,8 @@ class System:
             self._frame_prior = None
             self._prev_vi_state = None
         self.n_kf_host = 0
+        self.n_lm_host = 0
+        self._n_lm_dev = None
         self.kf_alive = [True] * t.max_kf
         self.ref_kf = -1
         self.ref_kf_tracked = 0
@@ -1247,6 +1337,8 @@ class System:
         self.frames_since_kf = 0
         self.n_lost = 0
         self.velocity = jnp.eye(4)
+        self._last_staged_scan = None
+        self._lidar_pending = []
         self.state = TrackingState.NOT_INITIALIZED
 
     # ------------------------------------------------------------------

@@ -222,7 +222,13 @@ def lvi_ba(
         gb = A.T @ q.g * w_lidar
         return Hb, gb, q.cost * w_lidar
 
-    def assemble(s: InertialState, X_w, lam):
+    # Lazy relinearization (is_calc_hess, G2oTypesWithLidar.h:134-138):
+    # eigen-Hessian once at the entry state; gradient/cost follow the
+    # quadratic model along the accumulated pose tangent (see lm.local_ba).
+    if use_balm:
+        Hb0, gb0, cb0 = balm_quad(state0)
+
+    def assemble(s: InertialState, X_w, lam, xi):
         r, J_pose, J_lm, chi2, depth_ok, pidx = _visual_residuals(cam, T_cb, s, X_w, obs)
         stereo = obs.stereo.reshape(-1)
         thresh = jnp.where(stereo, factors.CHI2_STEREO, factors.CHI2_MONO)
@@ -273,11 +279,11 @@ def lvi_ba(
         Hd = H.transpose(0, 2, 1, 3).reshape(PD, PD)
         free_d = jnp.repeat(free, D)
         if use_balm:
-            Hb, gb, _ = balm_quad(s)
+            gb = gb0 + Hb0 @ xi.reshape(-1)
             # scatter the 6n_lidar BALM block into full pose coords
             bidx = (jnp.arange(n_lidar * 6) // 6) * D + (jnp.arange(n_lidar * 6) % 6)
             Hd = Hd.at[bidx[:, None], bidx[None, :]].add(
-                Hb * free_d[bidx][:, None] * free_d[bidx][None, :]
+                Hb0 * free_d[bidx][:, None] * free_d[bidx][None, :]
             )
             g = g.reshape(-1).at[bidx].add(gb * free_d[bidx]).reshape(P, D)
         Hd = Hd + jnp.diag(1.0 - free_d)
@@ -294,7 +300,7 @@ def lvi_ba(
         dl = -jnp.einsum("lij,lj->li", Hll_inv, gl + Bt_dp) * valid_lm[:, None]
         return dx, dl
 
-    def total_cost(s: InertialState, X_w):
+    def total_cost(s: InertialState, X_w, xi):
         r, _, _, chi2, depth_ok, _ = _visual_residuals(cam, T_cb, s, X_w, obs)
         stereo = obs.stereo.reshape(-1)
         thresh = jnp.where(stereo, factors.CHI2_STEREO, factors.CHI2_MONO)
@@ -305,26 +311,29 @@ def lvi_ba(
         _, _, ci = _imu_terms(s, imu_fac, gravity)
         c = c + ci
         if use_balm:
-            T_wl = s.T_wb[:n_lidar] @ T_bl
-            c = c + w_lidar * balm_mod.eigen_cost(balm_clusters, T_wl)
+            x = xi.reshape(-1)
+            c = c + cb0 + gb0 @ x + 0.5 * x @ (Hb0 @ x)
         return c
 
     def lm_iter(carry, _):
-        s, X_w, lam, cost_prev = carry
-        dx, dl = assemble(s, X_w, lam)
+        s, X_w, lam, xi, cost_prev = carry
+        dx, dl = assemble(s, X_w, lam, xi)
         s_new = _apply_delta(s, dx)
         X_new = X_w + dl
-        cost_new = total_cost(s_new, X_new)
+        xi_new = xi + dx[:n_lidar, :6] if use_balm else xi
+        cost_new = total_cost(s_new, X_new, xi_new)
         accept = cost_new < cost_prev
         s = jax.tree.map(lambda a, b: jnp.where(accept, a, b), s_new, s)
         X_w = jnp.where(accept, X_new, X_w)
+        xi = jnp.where(accept, xi_new, xi)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         cost = jnp.where(accept, cost_new, cost_prev)
-        return (s, X_w, lam, cost), cost
+        return (s, X_w, lam, xi, cost), cost
 
-    cost0 = total_cost(state0, X_w0)
-    (s, X_w, _, cost), _ = jax.lax.scan(
-        lm_iter, (state0, X_w0, jnp.asarray(1e-3, X_w0.dtype), cost0),
+    xi0 = jnp.zeros((max(n_lidar, 1), 6), X_w0.dtype)
+    cost0 = total_cost(state0, X_w0, xi0)
+    (s, X_w, _, _, cost), _ = jax.lax.scan(
+        lm_iter, (state0, X_w0, jnp.asarray(1e-3, X_w0.dtype), xi0, cost0),
         None, length=iters,
     )
 

@@ -57,7 +57,7 @@ def run_circle(loop_closing: bool, n_frames=140, seed=0, drift_at=None,
         ),
     )
     descs = []
-    for fr in frames[::10]:
+    for fr in frames[::5]:
         from tc2li_slam_tpu.slam import tracking
         import jax.numpy as jnp
         f = tracking.build_frame(
@@ -66,15 +66,24 @@ def run_circle(loop_closing: bool, n_frames=140, seed=0, drift_at=None,
             n_features=cfg.orb.n_features, n_levels=cfg.orb.n_levels,
         )
         descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
-    voc = bow.train_vocabulary(np.concatenate(descs), k=6, depth=3, seed=0)
+    # k=8 depth=4 -> up to 4096 words: a 216-word toy vocabulary saturates
+    # (every KF pair shares ~90% of its words) and candidate ranking
+    # degenerates to noise on this repetitive synthetic corridor
+    voc = bow.train_vocabulary(np.concatenate(descs), k=8, depth=4, seed=0)
 
     slam = sys_mod.System(cfg, voc=voc)
     T_bc = syn.body_from_cam()
     gt = []
     for k, fr in enumerate(frames):
-        if drift_at is not None and k == drift_at:
-            from tc2li_slam_tpu.geom import lie
-            inject_drift(slam, lie.se3_exp(np.asarray(drift_xi, np.float32)))
+        if drift_at is not None:
+            # incremental gauge drift over [drift_at, drift_end): the way
+            # real odometric error accumulates (a ramp, not a step)
+            a, b = drift_at if isinstance(drift_at, tuple) else (
+                drift_at, drift_at + 1)
+            if a <= k < b:
+                from tc2li_slam_tpu.geom import lie
+                xi = np.asarray(drift_xi, np.float32) / (b - a)
+                inject_drift(slam, lie.se3_exp(xi))
         slam.track(fr.img_l, fr.img_r, fr.t, fr.scan, fr.scan_valid)
         gt.append(fr.T_wb_gt @ T_bc)
     est = slam.trajectory_world_from_cam()
