@@ -202,6 +202,10 @@ def run_imu_mode(frames, cfg, n_frames, n_warm):
         ),
     )
     slam = sys_mod.System(icfg)
+    # warm until every IMU-mode program has compiled: static init, the
+    # visual-inertial bootstrap (fires at ~4 KFs), the fixed-size LVI-BA
+    # window, and BOTH per-frame VI refine branches
+    n_warm = max(n_warm, 25)
     for fr in frames[:n_warm]:
         slam.track(fr.img_l, fr.img_r, fr.t, fr.scan, fr.scan_valid,
                    gyro=fr.gyro, acc=fr.acc, imu_dts=fr.imu_dts,

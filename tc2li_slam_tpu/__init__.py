@@ -36,13 +36,32 @@ def _enable_compilation_cache():
 
     if os.environ.get("TC2LI_NO_JIT_CACHE"):
         return
+
+    def machine_tag():
+        # XLA:CPU AOT artifacts bake in the compile machine's feature set;
+        # loading them on a host without those features SIGILLs/segfaults
+        # (observed: a cache built on an avx512/prefer-no-scatter host
+        # crashed the whole test suite elsewhere). Key the cache directory
+        # by the host's CPU flags so each machine type gets its own space.
+        try:
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.startswith("flags"):
+                        import hashlib
+                        return hashlib.md5(line.encode()).hexdigest()[:10]
+        except OSError:
+            pass
+        import platform
+        return platform.machine() or "generic"
+
     try:
         import jax
 
         if jax.config.jax_compilation_cache_dir is None:
             cache = os.environ.get(
                 "TC2LI_JIT_CACHE_DIR",
-                os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+                os.path.join(os.path.dirname(__file__), "..", ".jax_cache",
+                             machine_tag()),
             )
             jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

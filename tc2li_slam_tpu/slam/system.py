@@ -43,6 +43,75 @@ class TrackingState:
     LOST = 3
 
 
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnames=("use_lidar",))
+def _kf_create_kernel(
+    m, vmap, kf_id, frame, T_cw, t, feat_lm, cam, th_depth, scale_factors,
+    use_lidar: bool,
+):
+    """The keyframe-creation device chain as ONE program: snapshot the
+    frame, gate + allocate stereo landmarks (near-duplicate suppression +
+    LiDAR plane-consistency gate), and produce the ref-KF-tracked count.
+    Folding this chain into one jit removes ~30 per-op dispatch floors per
+    keyframe event through the tunneled runtime (~2.5 ms each)."""
+    from ..ops import plane_fit as pf
+
+    m, _slot = mapstate.add_keyframe(
+        m, T_cw, t, frame.xy, frame.uvr, frame.level, frame.angle,
+        frame.desc, frame.valid, feat_lm,
+    )
+    pos, normal, dist, want = tracking.stereo_landmark_candidates(
+        frame, T_cw, cam, feat_lm, th_depth, scale_factors,
+    )
+    near = tracking.near_existing_landmark(
+        m, frame, T_cw, cam, jnp.float32(4.0), jnp.float32(0.15),
+    )
+    want = want & ~near
+    if use_lidar:
+        # tightly-coupled depth verification (see _create_keyframe notes)
+        sel_q = jnp.argsort(~want)[:512]
+        pos_q = pos[sel_q]
+        _, nbrs, nbv = voxel_map.knn(vmap, pos_q, k=5, radius=2)
+        nrm, dpl, p_ok = pf.fit_planes(nbrs, nbv, threshold=0.3)
+        pd = jnp.abs(pf.point_to_plane(pos_q, nrm, dpl))
+        cam_c = lie.translation(lie.se3_inverse(T_cw))
+        rng_ = jnp.linalg.norm(pos_q - cam_c, axis=-1)
+        tol = jnp.clip(0.06 * rng_, 0.3, 1.0)
+        lidar_ok = jnp.zeros(m.F, bool).at[sel_q].set(p_ok & (pd < tol))
+        want = want & lidar_ok
+    m, _ = mapstate.add_landmarks(
+        m, kf_id, jnp.arange(m.F, dtype=jnp.int32),
+        pos, frame.desc, normal, dist, want,
+    )
+    rkt = jnp.sum(m.kf_feat_lm[kf_id] != mapstate.NO_LM)
+    return m, rkt, m.n_lm
+
+
+@_partial(jax.jit, static_argnames=("max_pairs", "do_triangulate"))
+def _mapping_maintain_kernel(
+    m, kf_id, neighbors, nb_fuse, cam, sigma2, scale_factors,
+    max_pairs: int = 3, do_triangulate: bool = True,
+):
+    """The mapping pass's maintenance chain as ONE program (MapPointCulling
+    -> CreateNewMapPoints -> SearchInNeighbors/Fuse x2 -> landmark stats):
+    one dispatch instead of ~6 through the tunneled runtime."""
+    m = culling.cull_landmarks(m, kf_id)
+    if do_triangulate:
+        m = triangulation.triangulate_batch(
+            m, kf_id, neighbors, cam, sigma2, scale_factors,
+            max_pairs=max_pairs)
+    m = culling.fuse_into_keyframe(m, kf_id, cam, scale_factors)
+    m = jax.lax.cond(
+        nb_fuse >= 0,
+        lambda mm: culling.fuse_into_keyframe(
+            mm, jnp.clip(nb_fuse, 0, m.K - 1), cam, scale_factors),
+        lambda mm: mm, m,
+    )
+    return mapstate.update_landmark_stats(m)
+
+
 class System:
     """Stereo(+LiDAR) SLAM system (System::TrackStereoLidar equivalent)."""
 
@@ -668,57 +737,25 @@ class System:
             # the KF event reads the voxel map (plane gating + plane-feature
             # selection) — land any staged scan batches first
             self._lidar_flush()
-        self.map, _kf_slot = mapstate.add_keyframe(
-            self.map, self.T_cw, jnp.asarray(t, jnp.float32),
-            frame.xy, frame.uvr, frame.level, frame.angle, frame.desc,
-            frame.valid, feat_lm,
-        )
-        # host mirror of the slot id (add_keyframe returns min(n_kf, K-1)):
+        # host mirror of the slot id (add_keyframe writes min(n_kf, K-1)):
         # avoids a device->host sync on the hot keyframe path
         kf_id = min(self.n_kf_host, self.cfg.tracking.max_kf - 1)
         self.n_kf_host = min(self.n_kf_host + 1, self.cfg.tracking.max_kf)
 
-        # stereo landmarks from unmatched close features; suppress features
-        # that re-observe an existing landmark (duplicate control — the
-        # reference relies on SearchInNeighbors/Fuse for this)
-        pos, normal, dist, want = tracking.stereo_landmark_candidates(
-            frame, self.T_cw, self.cam, feat_lm,
+        # One fused program: KF snapshot + stereo-landmark gating (near-
+        # duplicate suppression, LiDAR plane-consistency verification —
+        # the tightly-coupled depth gate: a stereo landmark must lie on
+        # LiDAR structure; 512-query compaction per tools/prof_frame.py,
+        # the reference caps close-depth MapPoints at 100/KF,
+        # Tracking.cc:3121) + allocation + the ref-KF tracked count.
+        use_gate = (self.lidar_enabled and scan is not None
+                    and self.frame_idx > 0)
+        self.map, rkt, n_lm_dev = _kf_create_kernel(
+            self.map, self.vmap, jnp.int32(kf_id), frame, self.T_cw,
+            jnp.asarray(t, jnp.float32), feat_lm, self.cam,
             jnp.asarray(self.cfg.camera.th_depth, jnp.float32),
             self.scale_factors,
-        )
-        near = tracking.near_existing_landmark(
-            self.map, frame, self.T_cw, self.cam,
-            jnp.float32(4.0), jnp.float32(0.15),
-        )
-        want = want & ~near
-        if self.lidar_enabled and scan is not None and self.frame_idx > 0:
-            # tightly-coupled depth verification: a stereo landmark must lie
-            # on LiDAR structure — fit a local plane from the voxel map
-            # around the candidate and gate on point-to-plane distance
-            # (plane interpolation bridges the map's sparse sampling).
-            # Kills the fat tail of gross stereo mismatches that would
-            # otherwise poison the map; candidates with no LiDAR structure
-            # nearby are rejected (conservative).
-            # Compact candidates first: the kNN cost scales with Q x voxel
-            # neighborhood, and only ~a few hundred features survive the
-            # `want` gates (the reference itself caps close-depth MapPoints
-            # at 100/KF, Tracking.cc:3121). 512 queries @ radius 2 is ~10x
-            # cheaper than 2000 @ radius 3 (tools/prof_frame.py).
-            from ..ops import plane_fit as pf
-            sel_q = jnp.argsort(~want)[:512]
-            pos_q = pos[sel_q]
-            _, nbrs, nbv = voxel_map.knn(self.vmap, pos_q, k=5, radius=2)
-            nrm, dpl, p_ok = pf.fit_planes(nbrs, nbv, threshold=0.3)
-            pd = jnp.abs(pf.point_to_plane(pos_q, nrm, dpl))
-            cam_c = lie.translation(lie.se3_inverse(self.T_cw))
-            rng_ = jnp.linalg.norm(pos_q - cam_c, axis=-1)
-            tol = jnp.clip(0.06 * rng_, 0.3, 1.0)
-            lidar_ok = jnp.zeros(self.map.F, bool).at[sel_q].set(
-                p_ok & (pd < tol))
-            want = want & lidar_ok
-        self.map, _ = mapstate.add_landmarks(
-            self.map, jnp.int32(kf_id), jnp.arange(self.map.F, dtype=jnp.int32),
-            pos, frame.desc, normal, dist, want,
+            use_lidar=use_gate,
         )
 
         # store LiDAR features for this KF (BuildLidarFeat4KeyFrame)
@@ -762,12 +799,11 @@ class System:
         # (TrackedMapPoints semantics, not raw depth count). Fetched
         # asynchronously — resolved at the next frame's sync point; until
         # then the previous baseline stands (one-frame lag, no blocking).
-        rkt = jnp.sum(self.map.kf_feat_lm[kf_id] != mapstate.NO_LM)
         self._async_fetch(rkt)
         self._ref_kf_tracked_dev = rkt
         # landmark-count mirror (sizes the BA's active-landmark bucket)
-        self._async_fetch(self.map.n_lm)
-        self._n_lm_dev = self.map.n_lm
+        self._async_fetch(n_lm_dev)
+        self._n_lm_dev = n_lm_dev
 
         # loop closing (per KF, when place recognition is available and the
         # config enables it — the parsed loopClosing flag is honored here)
@@ -875,35 +911,23 @@ class System:
         # Tracking.cc:2393-2411) — capture the pre-BA reference pose now.
         T_ref_old = self.map.kf_T_cw[kf_id]
 
-        with self.timers.stage("cull_lm"):
-            self.map = culling.cull_landmarks(self.map, jnp.int32(kf_id))
-
-        if t.triangulate:
-            with self.timers.stage("triangulate"):
-                # nearest (most covisible / most recent) neighbors first
-                neighbors = sorted(
-                    (w for w in window if w not in (kf_id, mapstate.NO_KF)),
-                    reverse=True,
-                )
-                self.map = triangulation.create_new_map_points(
-                    self.map, kf_id, neighbors, self.cam, self.sigma2,
-                    self.scale_factors, max_pairs=t.tri_pairs,
-                )
-
-        with self.timers.stage("fuse"):
-            self.map = culling.fuse_into_keyframe(
-                self.map, jnp.int32(kf_id), self.cam, self.scale_factors
+        with self.timers.stage("maintain"):
+            # nearest (most covisible / most recent) neighbors first; the
+            # second fuse target is the best covisible neighbor
+            # (SearchInNeighbors runs BOTH directions in the reference)
+            neighbors = sorted(
+                (w for w in window if w not in (kf_id, mapstate.NO_KF)),
+                reverse=True,
             )
-            # also fuse into the best covisible neighbor (SearchInNeighbors
-            # runs BOTH directions in the reference; the second target makes
-            # observation counts grow fast enough for MapPointCulling)
-            nb = next((w for w in window
-                       if w not in (kf_id, mapstate.NO_KF)), None)
-            if nb is not None:
-                self.map = culling.fuse_into_keyframe(
-                    self.map, jnp.int32(nb), self.cam, self.scale_factors
-                )
-            self.map = mapstate.update_landmark_stats(self.map)
+            nbs = neighbors[:t.tri_pairs]
+            nbs += [mapstate.NO_KF] * (t.tri_pairs - len(nbs))
+            nb_fuse = neighbors[0] if neighbors else mapstate.NO_KF
+            self.map = _mapping_maintain_kernel(
+                self.map, jnp.int32(kf_id), jnp.asarray(nbs, jnp.int32),
+                jnp.int32(nb_fuse), self.cam, self.sigma2,
+                self.scale_factors, max_pairs=t.tri_pairs,
+                do_triangulate=t.triangulate,
+            )
 
         with self.timers.stage("local_ba"):
             use_lvi = self.use_imu and self.cfg.inertial_ba
@@ -1104,13 +1128,22 @@ class System:
         With ``n_window`` spanning the whole early map and ``use_balm=False``
         this doubles as the FullInertialBA analog (Optimizer.cc:394)."""
         n_kf = self.n_kf_host
-        P = min(n_window or self.cfg.tracking.local_window, n_kf, kf_id + 1)
-        window = list(range(kf_id - P + 1, kf_id + 1))
-        window_arr = jnp.asarray(window, jnp.int32)
-        fac = imu_mode.window_factors(self.imu_store, window,
+        P = n_window or self.cfg.tracking.local_window
+        n_real = min(P, n_kf, kf_id + 1)
+        # NO_KF-pad the window to a FIXED P: a growing window recompiles the
+        # ~minute-long LVI-BA program once per size (measured 3.5 s/frame
+        # amortized compile in the IMU bench); padded slots carry invalid
+        # factors, no observations, and a fixed identity-anchored state
+        window = list(range(kf_id - n_real + 1, kf_id + 1))
+        pad = P - n_real
+        window_padded = window + [mapstate.NO_KF] * pad
+        window_arr = jnp.asarray(
+            window + [0] * pad, jnp.int32)  # clipped gathers for pads
+        wvalid = jnp.asarray([True] * n_real + [False] * pad)
+        fac = imu_mode.window_factors(self.imu_store, window_padded,
                                       has_factor=self._has_factor_host)
         win_pos, uvr, inv_s2, stereo, ok = mapstate.landmark_major_obs(
-            self.map, window_arr, self.sigma2
+            self.map, jnp.asarray(window_padded, jnp.int32), self.sigma2
         )
         from ..solver.lm import BAObservations
         # compact to the active-landmark budget (see run_local_ba): the
@@ -1132,10 +1165,13 @@ class System:
         ba0 = jnp.where(self.imu_store.vel_opt[window_arr][:, None],
                         self.imu_store.ba[window_arr],
                         jnp.tile(self.filt.x.ba, (P, 1)))
+        # padded slots: identity-anchored finite state, held fixed
+        T_wb_win = jnp.where(wvalid[:, None, None], T_wb_win,
+                             jnp.eye(4, dtype=T_wb_win.dtype))
         state0 = inertial_ba.InertialState(
-            T_wb=T_wb_win, vel=vel0, bg=bg0, ba=ba0,
+            T_wb=T_wb_win, vel=vel0 * wvalid[:, None], bg=bg0, ba=ba0,
         )
-        fixed = jnp.zeros(P, bool).at[0].set(True)
+        fixed = jnp.zeros(P, bool).at[0].set(True) | ~wvalid
         # BALM plane eigen-factor over the first <= balm_window poses
         # (EdgeLidar in LocalLVIBA, OptimizerWithLidar.cc:697-727)
         balm_kw = {}
@@ -1145,9 +1181,11 @@ class System:
             lidx = window_arr[:n_l]
             T_wl_init = jax.vmap(
                 lambda T: lie.se3_inverse(T) @ self.T_cl
-            )(self.map.kf_T_cw[lidx])
+            )(jnp.where(wvalid[:n_l, None, None], self.map.kf_T_cw[lidx],
+                        jnp.eye(4, dtype=self.map.kf_T_cw.dtype)))
             clusters = balm_mod.build_clusters(
-                self.lidar_store.points[lidx], self.lidar_store.valid[lidx],
+                self.lidar_store.points[lidx],
+                self.lidar_store.valid[lidx] & wvalid[:n_l, None],
                 T_wl_init,
                 voxel_size=self.cfg.lidar.balm_voxel,
                 max_voxels=self.cfg.lidar.balm_max_voxels,
@@ -1170,15 +1208,16 @@ class System:
         lm_pos_new = self.map.lm_pos.at[sel].set(
             jnp.where(lm_active[:, None], res.X_w, self.map.lm_pos[sel])
         )
+        w_sc = jnp.where(wvalid, window_arr, self.cfg.tracking.max_kf)
         self.map = self.map._replace(
-            kf_T_cw=self.map.kf_T_cw.at[window_arr].set(T_cw_new),
+            kf_T_cw=self.map.kf_T_cw.at[w_sc].set(T_cw_new, mode="drop"),
             lm_pos=lm_pos_new,
         )
         self.imu_store = self.imu_store._replace(
-            vel=self.imu_store.vel.at[window_arr].set(res.state.vel),
-            vel_opt=self.imu_store.vel_opt.at[window_arr].set(True),
-            bg=self.imu_store.bg.at[window_arr].set(res.state.bg),
-            ba=self.imu_store.ba.at[window_arr].set(res.state.ba),
+            vel=self.imu_store.vel.at[w_sc].set(res.state.vel, mode="drop"),
+            vel_opt=self.imu_store.vel_opt.at[w_sc].set(True, mode="drop"),
+            bg=self.imu_store.bg.at[w_sc].set(res.state.bg, mode="drop"),
+            ba=self.imu_store.ba.at[w_sc].set(res.state.ba, mode="drop"),
         )
         # (the caller recomposes self.T_cw against the refined KF pose)
 

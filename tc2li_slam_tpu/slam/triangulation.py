@@ -13,6 +13,8 @@ pairs so the whole pass is a handful of fixed-shape kernel calls per KF.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -34,8 +36,7 @@ def _hat(v):
     ], v.dtype)
 
 
-@jax.jit
-def triangulate_pair(
+def _pair_candidates(
     m: mapstate.MapState,
     kf1: jax.Array,          # new keyframe id
     kf2: jax.Array,          # covisible neighbor id
@@ -43,9 +44,10 @@ def triangulate_pair(
     cam: cam_mod.Pinhole,
     sigma2: jax.Array,       # [n_levels]
     scale_factors: jax.Array,  # [n_levels]
-) -> mapstate.MapState:
-    """Triangulate new landmarks between ``kf1`` and ``kf2``; returns the
-    updated map. Fixed shapes; compiles once for all pairs/keyframes."""
+):
+    """Pure candidate computation for one pair (no map writes): returns
+    (want [F], Xw [F, 3], normal [F, 3], dist_rng [F, 2], idx2 [F]) —
+    vmappable over the neighbor axis."""
     kf1c = jnp.clip(kf1, 0, m.K - 1)
     kf2c = jnp.clip(kf2, 0, m.K - 1)
     T1 = m.kf_T_cw[kf1c]
@@ -149,13 +151,70 @@ def triangulate_pair(
     max_d = dist1 * scale_factors[lvl1c]
     min_d = max_d / scale_factors[-1]
     dist_rng = jnp.stack([min_d, max_d], -1)
+    return want, Xw, normal, dist_rng, idx2
 
+
+@jax.jit
+def triangulate_pair(
+    m: mapstate.MapState,
+    kf1: jax.Array,
+    kf2: jax.Array,
+    pair_ok: jax.Array,
+    cam: cam_mod.Pinhole,
+    sigma2: jax.Array,
+    scale_factors: jax.Array,
+) -> mapstate.MapState:
+    """Triangulate new landmarks between ``kf1`` and ``kf2``; returns the
+    updated map (single-pair variant, kept for tests/compat)."""
+    want, Xw, normal, dist_rng, idx2 = _pair_candidates(
+        m, kf1, kf2, pair_ok, cam, sigma2, scale_factors)
+    kf1c = jnp.clip(kf1, 0, m.K - 1)
+    kf2c = jnp.clip(kf2, 0, m.K - 1)
     m, lm_ids = mapstate.add_landmarks(
-        m, kf1c, jnp.arange(m.F, dtype=jnp.int32), Xw, d1, normal, dist_rng,
-        want,
+        m, kf1c, jnp.arange(m.F, dtype=jnp.int32), Xw,
+        m.kf_desc[kf1c], normal, dist_rng, want,
     )
-    # second observation: the neighbor keyframe
     m = mapstate.link_observations(m, kf2c, idx2, lm_ids, want)
+    return m
+
+
+@partial(jax.jit, static_argnames=("max_pairs",))
+def triangulate_batch(
+    m: mapstate.MapState,
+    kf1: jax.Array,
+    neighbors: jax.Array,    # [max_pairs] neighbor ids (NO_KF pad)
+    cam: cam_mod.Pinhole,
+    sigma2: jax.Array,
+    scale_factors: jax.Array,
+    max_pairs: int = 3,
+) -> mapstate.MapState:
+    """All neighbor pairs in ONE program: the candidate compute vmaps over
+    the neighbor axis (each pair's F x F epipolar Hamming etc. batches on
+    device) and landmark allocation happens once over the union — ~3
+    sequential pair kernels + 3 allocator passes collapse into 1 + 1
+    (~25 ms/KF event on chip). First pair wins when two pairs triangulate
+    the same kf1 feature (the sequential form's unm1-refresh semantics)."""
+    kf1c = jnp.clip(kf1, 0, m.K - 1)
+    want, Xw, normal, dist_rng, idx2 = jax.vmap(
+        lambda nb: _pair_candidates(
+            m, kf1, nb, nb != mapstate.NO_KF, cam, sigma2, scale_factors)
+    )(neighbors)                                     # each [P, F, ...]
+    P, F = want.shape
+    # first-pair-wins dedupe per kf1 feature
+    prior = jnp.cumsum(want.astype(jnp.int32), axis=0) - want.astype(jnp.int32)
+    want = want & (prior == 0)
+
+    feat_idx = jnp.tile(jnp.arange(F, dtype=jnp.int32), P)
+    d1 = m.kf_desc[kf1c]
+    m, lm_ids = mapstate.add_landmarks(
+        m, kf1c, feat_idx, Xw.reshape(-1, 3),
+        jnp.tile(d1, (P, 1)), normal.reshape(-1, 3),
+        dist_rng.reshape(-1, 2), want.reshape(-1),
+    )
+    lm_ids = lm_ids.reshape(P, F)
+    for p in range(max_pairs):   # small static unroll: second observations
+        kf2c = jnp.clip(neighbors[p], 0, m.K - 1)
+        m = mapstate.link_observations(m, kf2c, idx2[p], lm_ids[p], want[p])
     return m
 
 
@@ -168,13 +227,12 @@ def create_new_map_points(
     scale_factors: jax.Array,
     max_pairs: int = 4,
 ) -> mapstate.MapState:
-    """Host loop over the covisible pairs (the reference uses the 10 best
+    """Batched over the covisible pairs (the reference uses the 10 best
     covisible KFs; a handful of pairs recovers most mid/far structure)."""
-    kf1 = jnp.int32(kf_id)
-    for nb in neighbor_ids[:max_pairs]:
-        if nb == mapstate.NO_KF or nb == kf_id:
-            continue
-        m = triangulate_pair(
-            m, kf1, jnp.int32(nb), jnp.bool_(True), cam, sigma2, scale_factors
-        )
-    return m
+    nbs = [nb for nb in neighbor_ids[:max_pairs]
+           if nb != mapstate.NO_KF and nb != kf_id]
+    nbs += [mapstate.NO_KF] * (max_pairs - len(nbs))
+    return triangulate_batch(
+        m, jnp.int32(kf_id), jnp.asarray(nbs, jnp.int32), cam, sigma2,
+        scale_factors, max_pairs=max_pairs,
+    )
