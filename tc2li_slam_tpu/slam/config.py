@@ -94,6 +94,9 @@ class TrackingConfig:
     local_window: int = 8          # local BA covisible window
     ba_iters: int = 8
     ba_active_landmarks: int = 8192  # compacted landmark budget per solve
+    ba_active_min: int = 4096      # adaptive-bucket floor: every distinct
+    #   bucket size compiles its own XLA BA variant (minutes, cold); flooring
+    #   keeps one variant per typical run — sized down only by the cap
     # mapping maintenance (LocalMapping::Run passes)
     triangulate: bool = True       # CreateNewMapPoints between covisible KFs
     tri_pairs: int = 3             # neighbor pairs triangulated per keyframe

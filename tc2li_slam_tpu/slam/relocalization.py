@@ -96,8 +96,12 @@ def relocalize(
             res_w = tracking.track_frame(
                 m, frame, T_seed, cam, sf, sigma2, jnp.float32(15.0),
             )
-            if int(res_w.n_inliers) > n2:
-                res2, n2 = res_w, int(res_w.n_inliers)
+            if int(res_w.n_inliers) <= n2:
+                # the attempt is deterministic: a retry from the SAME seed
+                # pose at the SAME radius would reproduce it exactly — only
+                # an improved n2 (new seed pose) makes another pass useful
+                break
+            res2, n2 = res_w, int(res_w.n_inliers)
             if n2 >= 50:
                 break
     if n2 >= min_inliers:

@@ -884,14 +884,121 @@ class System:
         """Power-of-2 active-landmark budget for the windowed BA, sized from
         the (async-mirrored) landmark count: the Schur cost scales linearly
         with the budget, and a young map solving at the full configured cap
-        wastes 2-4x on padded rows (530 -> 209 -> ~120 ms measured). Few
-        distinct buckets -> few compile variants."""
+        wastes 2-4x on padded rows (530 -> 209 -> ~120 ms measured). The
+        floor matters as much as the cap: every DISTINCT bucket compiles its
+        own multi-minute XLA BA variant, and a bucket that grows mid-run
+        drops that compile into the live frame stream (the round-4 bench
+        regression: two fresh local_ba variants compiled mid-measurement).
+        ``ba_active_min`` keeps typical runs on a single prewarmed variant."""
         cap = self.cfg.tracking.ba_active_landmarks
         hint = int(self.n_lm_host * 1.25) + 512   # headroom: mirror lags 1 KF
-        b = 1024
+        b = min(self.cfg.tracking.ba_active_min, cap)
         while b < hint and b < cap:
             b *= 2
         return min(b, cap)
+
+    def _ba_buckets_reachable(self) -> list[int]:
+        """All bucket sizes ``_ba_active_bucket`` can ever return with this
+        config (for prewarm)."""
+        cap = self.cfg.tracking.ba_active_landmarks
+        out, b = [], min(self.cfg.tracking.ba_active_min, cap)
+        while b < cap:
+            out.append(b)
+            b *= 2
+        out.append(cap)
+        return out
+
+    # ------------------------------------------------------------------
+    def prewarm(self):
+        """Compile every steady-state program variant NOW, outside the live
+        frame stream.
+
+        XLA compiles lazily at first call: programs whose first occurrence
+        is data-dependent (the first tracking recovery, the first keyframe
+        cull, a BA bucket the growing map reaches minutes in) otherwise
+        drop a multi-second-to-minute compile stall into a live frame (the
+        round-4 bench shipped two such compiles mid-measurement). Call
+        after a few bootstrap frames (>= 3 keyframes); all invocations are
+        functional — results are dropped, no SLAM state changes. The
+        persistent compile cache (tc2li_slam_tpu/__init__.py) makes later
+        processes skip the work entirely."""
+        if self.n_kf_host < 1:
+            return
+        t = self.cfg.tracking
+        kf_id = min(max(self.ref_kf, 0), self.cfg.tracking.max_kf - 1)
+        m = self.map
+
+        # frame-path variants that only fire on rare host branches
+        c = self.cfg.camera
+        img0 = jnp.zeros((c.height, c.width), jnp.float32)
+        frame = tracking.build_frame(
+            img0, img0, self.cam, self.scale_factors,
+            n_features=self.cfg.orb.n_features, n_levels=self.cfg.orb.n_levels)
+        key = jax.random.PRNGKey(0)
+        tracking.track_step(
+            m, frame, self.T_cw, self.velocity, key, self.cam,
+            self.scale_factors, self.sigma2,
+            jnp.asarray(t.match_radius_narrow, jnp.float32))
+        tracking.track_step_recover(
+            m, frame, self.T_cw, self.T_cw, self.velocity, key, self.cam,
+            self.scale_factors, self.sigma2,
+            jnp.asarray(t.match_radius_narrow, jnp.float32))
+
+        # keyframe-event kernel, both lidar-gate variants
+        feat_lm0 = jnp.full((m.F,), mapstate.NO_LM, jnp.int32)
+        for ul in ([False, True] if self.lidar_enabled else [False]):
+            _kf_create_kernel(
+                m, self.vmap, jnp.int32(kf_id), frame, self.T_cw,
+                jnp.float32(0.0), feat_lm0, self.cam,
+                jnp.asarray(self.cfg.camera.th_depth, jnp.float32),
+                self.scale_factors, use_lidar=ul)
+
+        # deferred-mapping maintenance + keyframe culling
+        nbs = jnp.full((t.tri_pairs,), mapstate.NO_KF, jnp.int32)
+        _mapping_maintain_kernel(
+            m, jnp.int32(kf_id), nbs, jnp.int32(mapstate.NO_KF), self.cam,
+            self.sigma2, self.scale_factors, max_pairs=t.tri_pairs,
+            do_triangulate=t.triangulate)
+        culling.cull_keyframes(
+            m, jnp.zeros(m.K, bool), thresh=t.cull_kf_redundancy)
+        mapstate.top_covisible(m, jnp.int32(kf_id), t.local_window - 1,
+                               min_weight=10)
+
+        # windowed BA at every bucket the adaptive budget can pick
+        if self.n_kf_host >= 3:
+            for b in self._ba_buckets_reachable():
+                local_mapping.run_local_ba(
+                    m, self.lidar_store, kf_id, self.cam, self.sigma2,
+                    self.T_cl, n_window=t.local_window,
+                    balm_window=self.cfg.lidar.balm_window,
+                    balm_voxel=self.cfg.lidar.balm_voxel,
+                    balm_max_voxels=self.cfg.lidar.balm_max_voxels,
+                    balm_min_points=self.cfg.lidar.balm_min_points,
+                    w_lba=self.cfg.lidar.w_lba if self.lidar_enabled else 0.0,
+                    iters=t.ba_iters, n_kf=self.n_kf_host,
+                    max_active=b, mesh=self.mesh)
+
+        if self.use_imu:
+            self._prewarm_imu(kf_id)
+
+    def _prewarm_imu(self, kf_id: int):
+        """Compile the inertial programs whose first natural occurrence is
+        minutes into a run: the VIBA refinement-ladder rungs (5 s / 15 s
+        after init, LocalMapping::Run:220-243) and the fixed-20-slot
+        FullInertialBA window. State mutated by the solvers is snapshotted
+        and restored — prewarm has no estimation side effects."""
+        if self.n_kf_host < 4 or not any(self._has_factor_host):
+            return
+        snap = (self.map, self.imu_store, self.gravity_vis,
+                self._vi_initialized, self._vi_stage, self._vi_init_time)
+        try:
+            if self._vi_initialized:
+                self._run_lvi_ba(kf_id)
+                for stage in (1, 2):
+                    self._initialize_imu(kf_id, stage=stage)
+        finally:
+            (self.map, self.imu_store, self.gravity_vis,
+             self._vi_initialized, self._vi_stage, self._vi_init_time) = snap
 
     # ------------------------------------------------------------------
     def _mapping_step(self, kf_id: int):
@@ -1032,7 +1139,7 @@ class System:
     VI_STAGE_PRIORS = ((1e2, 1e6), (1.0, 1e4), (0.1, 1e3))
     VI_STAGE_TIMES = (0.0, 5.0, 15.0)   # elapsed-since-init gates (s)
 
-    def _initialize_imu(self, kf_id: int, stage: int = 0):
+    def _initialize_imu(self, kf_id: int, stage: int = 0) -> bool:
         """Staged visual-inertial initialization (InitializeIMU,
         LocalMapping.cc:1184-1445): gravity bootstrap from preintegrated
         velocity deltas -> InertialOptimization (gravity dir + shared biases
@@ -1045,18 +1152,23 @@ class System:
         loosen the bias priors and re-estimate the gravity direction
         against the by-then mature keyframe map, then a full-window joint
         inertial BA (FullInertialBA, Optimizer.cc:394) refines poses /
-        velocities / biases / structure together."""
+        velocities / biases / structure together.
+
+        Returns True iff the optimization actually ran (the reference
+        retries InitializeIMU each LocalMapping pass until it does —
+        LocalMapping::Run:210-243); callers must not advance the
+        refinement ladder on an early-out."""
         from ..solver import inertial_init
         window = [k for k in range(max(0, kf_id - 19), kf_id + 1)
                   if self.kf_alive[k]]
         if len(window) < 4:
-            return
+            return False
         window_arr = jnp.asarray(window, jnp.int32)
         fac = imu_mode.window_factors(self.imu_store, window,
                                       has_factor=self._has_factor_host)
         n_fac = int(jnp.sum(fac.valid))
         if n_fac < 3:
-            return
+            return False
         T_wb = self._kf_body_poses(window_arr)
         # Gravity frame. With a RUNNING LIO the ESEKF owns gravity at every
         # stage: its S2 state is continuously corrected by the point-to-
@@ -1098,9 +1210,13 @@ class System:
         if stage >= 1:
             # FullInertialBA analog: joint pose/velocity/bias/structure
             # solve over the whole recent-KF window (no BALM edge — the
-            # reference's FullInertialBA is visual-inertial only)
-            self._run_lvi_ba(kf_id, n_window=len(window), use_balm=False,
+            # reference's FullInertialBA is visual-inertial only). FIXED
+            # 20-slot window: a data-dependent len(window) size would
+            # compile a fresh multi-minute LVI-BA variant per rung
+            # (NO_KF padding absorbs short windows).
+            self._run_lvi_ba(kf_id, n_window=20, use_balm=False,
                              iters=10)
+        return True
 
     def _maybe_refine_imu_init(self, kf_id: int):
         """Advance the staged-initialization ladder (VIBA1 at 5 s, VIBA2 at
@@ -1116,8 +1232,11 @@ class System:
         elapsed = self._last_t - self._vi_init_time
         nxt = self._vi_stage + 1
         if elapsed > self.VI_STAGE_TIMES[nxt]:
-            self._initialize_imu(kf_id, stage=nxt)
-            self._vi_stage = nxt
+            # advance the ladder only when the rung actually ran (too-few
+            # alive KFs / factors early-outs are retried at later KFs,
+            # matching the reference's per-pass retry)
+            if self._initialize_imu(kf_id, stage=nxt):
+                self._vi_stage = nxt
 
     # ------------------------------------------------------------------
     def _run_lvi_ba(self, kf_id: int, n_window: int | None = None,

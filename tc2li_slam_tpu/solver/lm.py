@@ -331,6 +331,22 @@ def local_ba(
         jnp.arange(iters),
     )
 
+    if extra_fn is not None:
+        # Safety net for the lazy quadratic model: when the accumulated
+        # pose correction leaves the small-step regime (e.g. the first BA
+        # after a loop-closure correction), the model can accept steps that
+        # RAISE the true eigen cost. Re-evaluate the true extra cost once
+        # at the exit poses and revert the whole update if the true total
+        # increased (cost0 is exact: xi0 = 0). One extra extra_fn eval per
+        # call — the lazy path still saves the per-iteration Hessians.
+        rr_t, w_t, _, _ = _assemble_visual(cam, T_cw, X_w, obs, False)
+        _, _, c_true = extra_fn(T_cw)
+        true_total = jnp.sum(w_t * jnp.sum(rr_t.r * rr_t.r, axis=-1)) + c_true
+        ok_true = true_total <= cost0
+        T_cw = jnp.where(ok_true, T_cw, T_cw0)
+        X_w = jnp.where(ok_true, X_w, X_w0)
+        cost = jnp.where(ok_true, true_total, cost0)
+
     # Final outlier classification (the reference erases chi2-outlier obs).
     rr, w, active, _ = _assemble_visual(cam, T_cw, X_w, obs, True)
     return BAResult(T_cw, X_w, cost, active.reshape(L, K))
