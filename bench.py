@@ -195,7 +195,7 @@ def roofline_table(slam, frame, scan, scan_valid, cfg):
             "kernels": rows}
 
 
-def run_imu_mode(frames, cfg, n_frames, n_warm):
+def run_imu_mode(frames, imgs_q, scans_q, cfg, n_frames, n_warm):
     """IMU_STEREO_LIDAR throughput (ESEKF scan step + VI refine + LVI-BA) —
     the paper's flagship mode was perf-blind through round 3."""
     import dataclasses
@@ -211,21 +211,25 @@ def run_imu_mode(frames, cfg, n_frames, n_warm):
         ),
     )
     slam = sys_mod.System(icfg)
+
+    def track(i):
+        fr = frames[i]
+        slam.track(imgs_q[i][0], imgs_q[i][1], fr.t, scans_q[i],
+                   fr.scan_valid, gyro=fr.gyro, acc=fr.acc,
+                   imu_dts=fr.imu_dts, imu_trel=fr.imu_trel,
+                   scan_times=fr.scan_times)
+
     # warm until every IMU-mode program has compiled: static init, the
     # visual-inertial bootstrap (fires at ~4 KFs), the fixed-size LVI-BA
     # window, and BOTH per-frame VI refine branches
     n_warm = max(n_warm, 25)
-    for fr in frames[:n_warm]:
-        slam.track(fr.img_l, fr.img_r, fr.t, fr.scan, fr.scan_valid,
-                   gyro=fr.gyro, acc=fr.acc, imu_dts=fr.imu_dts,
-                   imu_trel=fr.imu_trel, scan_times=fr.scan_times)
+    for i in range(min(n_warm, len(frames))):
+        track(i)
     slam.prewarm()  # incl. the VIBA1/VIBA2 ladder + FullInertialBA window
     slam.timers.reset()
     t0 = time.perf_counter()
-    for fr in frames[n_warm:n_warm + n_frames]:
-        slam.track(fr.img_l, fr.img_r, fr.t, fr.scan, fr.scan_valid,
-                   gyro=fr.gyro, acc=fr.acc, imu_dts=fr.imu_dts,
-                   imu_trel=fr.imu_trel, scan_times=fr.scan_times)
+    for i in range(n_warm, min(n_warm + n_frames, len(frames))):
+        track(i)
     dt = time.perf_counter() - t0
     st = slam.timers.stats()
     return {
@@ -311,14 +315,18 @@ def main():
     quant = cfg.lidar.scan_quant
     scans_q = [np.clip(np.round(fr.scan / quant), -32767, 32767).astype(np.int16)
                for fr in frames]
+    # uint8 images (what a real camera delivers): 4x fewer H2D bytes than
+    # the generator's f32 — the tunneled H2D path is a per-frame bottleneck
+    imgs_q = [(np.clip(fr.img_l, 0, 255).astype(np.uint8),
+               np.clip(fr.img_r, 0, 255).astype(np.uint8)) for fr in frames]
     t_gen = time.perf_counter() - t_gen0
 
     slam = sys_mod.System(cfg)
     # warmup: compile everything (first frames hit all code paths incl. BA),
     # then prewarm the variants whose first natural occurrence would land a
     # cold XLA compile mid-measurement (recover path, cull, BA buckets)
-    for fr, sq in zip(frames[:n_warm], scans_q[:n_warm]):
-        slam.track(fr.img_l, fr.img_r, fr.t, sq, fr.scan_valid)
+    for fr, sq, iq in zip(frames[:n_warm], scans_q[:n_warm], imgs_q[:n_warm]):
+        slam.track(iq[0], iq[1], fr.t, sq, fr.scan_valid)
     slam.prewarm()
     slam.timers.reset()  # stage stats = steady state only
 
@@ -327,16 +335,16 @@ def main():
     # the reference's sensor-callback threads do the same (SURVEY §2.4)
     per_frame = os.environ.get("BENCH_PERFRAME") == "1"
     t0 = time.perf_counter()
-    staged = slam.prefetch(frames[n_warm].img_l, frames[n_warm].img_r,
+    staged = slam.prefetch(*imgs_q[n_warm],
                            scans_q[n_warm], frames[n_warm].scan_valid)
     for i in range(n_warm, len(frames)):
         fr, cur = frames[i], staged
         tf0 = time.perf_counter()
         if i + 1 < len(frames):
-            staged = slam.prefetch(frames[i + 1].img_l, frames[i + 1].img_r,
+            staged = slam.prefetch(*imgs_q[i + 1],
                                    scans_q[i + 1], frames[i + 1].scan_valid)
-        slam.track(fr.img_l, fr.img_r, fr.t, scans_q[i], fr.scan_valid,
-                   staged=cur)
+        slam.track(imgs_q[i][0], imgs_q[i][1], fr.t, scans_q[i],
+                   fr.scan_valid, staged=cur)
         if per_frame:
             print(f"frame {i}: {1e3 * (time.perf_counter() - tf0):.1f} ms",
                   file=sys.stderr)
@@ -379,9 +387,13 @@ def main():
     # IMU_STEREO_LIDAR mode variant (skip with BENCH_IMU=0)
     imu_mode_res = None
     if os.environ.get("BENCH_IMU", "1") != "0":
-        n_imu = min(int(os.environ.get("BENCH_IMU_FRAMES", "40")),
+        # default 75 measured frames: the VIBA1 refinement rung (5 s after
+        # init) fires INSIDE the measured window, so its steady-state cost
+        # is part of the number (VERDICT r4 weak #3)
+        n_imu = min(int(os.environ.get("BENCH_IMU_FRAMES", "75")),
                     len(frames) - n_warm)
-        imu_mode_res = run_imu_mode(frames, cfg, n_imu, n_warm)
+        imu_mode_res = run_imu_mode(frames, imgs_q, scans_q, cfg, n_imu,
+                                    n_warm)
 
     n_kf = int(slam.map.n_kf)
     print(json.dumps({

@@ -207,18 +207,39 @@ def select_topk_grid(score: jax.Array, k: int, cell: int = 16) -> tuple[jax.Arra
     Returns (rows [k], cols [k], scores [k]); empty slots have score 0.
     Replaces ``DistributeOctTree`` — per-cell winners get a large rank boost so
     coverage beats raw score, mirroring the quad-tree's one-per-node retention.
+
+    Two-stage selection: NMS leaves at most a few corners per 16x16 cell, so
+    a per-cell top-m (cheap reshaped reduction) feeds a global top_k over
+    ~2 x n_cells candidates instead of H x W pixels — the full-image top_k
+    was a sort over 466k elements per pyramid level and dominated the
+    extractor's device time.
     """
     H, W = score.shape
-    # rank boost for per-cell maxima
-    cell_max = _cell_has(score, cell)
-    is_cell_best = (score >= cell_max) & (score > 0)
-    rank = score + jnp.where(is_cell_best, 1e6, 0.0)
-    flat = rank.ravel()
-    vals, idx = jax.lax.top_k(flat, k)
-    rows = idx // W
-    cols = idx % W
-    sel_scores = score.ravel()[idx]
-    return rows, cols, jnp.where(vals > 0, sel_scores, 0.0)
+    Hc = -(-H // cell)
+    Wc = -(-W // cell)
+    n_cells = Hc * Wc
+    # m per-cell candidates cover k even on tiny top-pyramid levels
+    m_cand = max(2, -(-k // n_cells) + 1)
+    sp = jnp.full((Hc * cell, Wc * cell), -jnp.inf, score.dtype)
+    sp = sp.at[:H, :W].set(score)
+    cells = sp.reshape(Hc, cell, Wc, cell).transpose(0, 2, 1, 3)
+    cells = cells.reshape(n_cells, cell * cell)
+    cvals, cidx = jax.lax.top_k(cells, m_cand)       # [n_cells, m]
+    # global candidate coordinates
+    ci = jnp.arange(n_cells)[:, None]
+    rows_c = (ci // Wc) * cell + cidx // cell
+    cols_c = (ci % Wc) * cell + cidx % cell
+    # rank: per-cell winners (slot 0) first, then raw score
+    boost = jnp.zeros((n_cells, m_cand), score.dtype).at[:, 0].set(1e6)
+    rank = jnp.where(jnp.isfinite(cvals) & (cvals > 0), cvals + boost,
+                     -jnp.inf)
+    vals, idx = jax.lax.top_k(rank.ravel(), k)
+    rows = rows_c.ravel()[idx]
+    cols = cols_c.ravel()[idx]
+    sel_scores = cvals.ravel()[idx]
+    ok = jnp.isfinite(vals) & (vals > 0)
+    return (jnp.where(ok, rows, 0), jnp.where(ok, cols, 0),
+            jnp.where(ok, sel_scores, 0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -279,13 +300,21 @@ def compute_descriptors(
     roff = jnp.round(px[None] * b + py[None] * a).astype(jnp.int32)  # [K, 512]
     coff = jnp.round(px[None] * a - py[None] * b).astype(jnp.int32)
     # Rotated taps stay inside a fixed radius: gather one patch per keypoint
-    # (fast vmap(dynamic_slice)), then index taps WITHIN the small patch —
-    # the full-image [K, 512] advanced-index gather is the slow path on TPU.
+    # (fast vmap(dynamic_slice)), then look the taps up WITHIN the small
+    # patch via a one-hot bf16 contraction — on TPU the MXU form runs 2x
+    # faster than take_along_axis row gathers (tools/probe_desc.py: 7.5 vs
+    # 14.9 ms at K=2000) and the full-image [K, 512] advanced-index gather
+    # is slower still. Patches are rounded to integers first: bf16 holds
+    # 0..255 exactly, so the tap comparisons stay exact (and match the
+    # reference's uint8-blurred comparisons even more closely).
     R = _PATTERN_RADIUS
     S = 2 * R + 1
     patches = _gather_patches(img_blur, rows, cols, R)      # [K, S, S]
+    patches_q = jnp.round(patches).astype(jnp.bfloat16).reshape(-1, S * S)
     tap = (jnp.clip(roff, -R, R) + R) * S + (jnp.clip(coff, -R, R) + R)
-    vals = jnp.take_along_axis(patches.reshape(-1, S * S), tap, axis=1)
+    oh = jax.nn.one_hot(tap, S * S, dtype=jnp.bfloat16)     # [K, 512, S*S]
+    vals = jnp.einsum("kts,ks->kt", oh, patches_q,
+                      preferred_element_type=jnp.float32)
     t0 = vals[:, :256]
     t1 = vals[:, 256:]
     bits = (t0 < t1).astype(jnp.uint32)  # [K, 256]

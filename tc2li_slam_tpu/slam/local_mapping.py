@@ -131,6 +131,100 @@ def _balm_extra(
     return H, g, q.cost * w_lba
 
 
+from functools import partial as _partial
+
+
+def _ba_prep(m, window_arr, sigma2, max_active: int):
+    """Window observation table + fixed-budget landmark compaction."""
+    wvalid = window_arr != mapstate.NO_KF
+    win_pos, uvr, inv_sigma2, stereo, ok = mapstate.landmark_major_obs(
+        m, window_arr, sigma2
+    )
+    # landmarks active in this window, COMPACTED to a fixed budget: the
+    # solver's Schur cross-terms are O(L x Ko^2 x 36) floats — over the full
+    # 32k pool that is ~300 MB of HBM traffic per LM iteration, vs ~a tenth
+    # for the few thousand landmarks a 6-KF window actually observes.
+    lm_active_full = jnp.any(ok, axis=1) & m.lm_valid
+    sel = jnp.argsort(~lm_active_full)[:max_active].astype(jnp.int32)
+    obs = lm_mod.BAObservations(
+        pose_idx=win_pos[sel], uv=uvr[sel], inv_sigma2=inv_sigma2[sel],
+        stereo=stereo[sel], valid=ok[sel],
+    )
+    lm_active = lm_active_full[sel]
+    # padded slots get identity poses (finite math; they are fixed + have no
+    # observations, so they contribute nothing)
+    T0 = jnp.where(
+        wvalid[:, None, None],
+        m.kf_T_cw[jnp.clip(window_arr, 0, m.K - 1)],
+        jnp.eye(4, dtype=m.kf_T_cw.dtype),
+    )
+    return obs, lm_active, sel, T0, m.lm_pos[sel], wvalid
+
+
+def _balm_extra_fn(m, lidar, lidx, pos_in_win, T_cl, w_lba,
+                   balm_voxel, balm_max_voxels: int, balm_min_points: int):
+    """Build the BALM quadratic term for the window's LiDAR keyframes."""
+    lvalid = lidx != mapstate.NO_KF
+    lidx_c = jnp.clip(lidx, 0, m.K - 1)
+    T_wl_init = jax.vmap(
+        lambda T: lie.se3_inverse(T) @ T_cl
+    )(jnp.where(lvalid[:, None, None], m.kf_T_cw[lidx_c],
+                jnp.eye(4, dtype=m.kf_T_cw.dtype)))
+    clusters = balm_mod.build_clusters(
+        lidar.points[lidx_c], lidar.valid[lidx_c] & lvalid[:, None],
+        T_wl_init,
+        voxel_size=balm_voxel, max_voxels=balm_max_voxels,
+        min_points=balm_min_points,
+    )
+    # (no host-side emptiness check: an empty cluster set yields a zero
+    # quadratic, keeping the step sync-free and single-variant)
+
+    # Partial over the module-level function: the per-window arrays are
+    # DATA (traced jit args), so local_ba compiles once — never a fresh
+    # closure in static_argnames (round-1 recompiled per keyframe).
+    return jax.tree_util.Partial(
+        _balm_extra,
+        clusters=clusters,
+        pos_in_win=pos_in_win,
+        lvalid=lvalid,
+        T_cl=T_cl,
+        w_lba=jnp.asarray(w_lba, jnp.float32),
+    )
+
+
+@_partial(jax.jit, static_argnames=(
+    "max_active", "iters", "use_balm", "balm_max_voxels", "balm_min_points",
+    "balm_voxel", "w_lba"))
+def _ba_kernel(
+    m, lidar, window_arr, fixed_arr, lidx, pos_in_win, cam, sigma2, T_cl,
+    balm_voxel: float, w_lba: float,
+    max_active: int, iters: int, use_balm: bool,
+    balm_max_voxels: int, balm_min_points: int,
+):
+    """The WHOLE single-chip BA pass as one XLA program: observation-table
+    prep, landmark compaction, BALM cluster build, LM solve, and pose/
+    landmark writeback. Un-fused, the prep + writeback alone cost ~115 ms
+    through the tunneled runtime (~20 dispatch floors + an unfused 32k
+    argsort chain) vs ~60 ms for the entire solver (tools/probe_ba.py)."""
+    obs, lm_active, sel, T0, X0, wvalid = _ba_prep(
+        m, window_arr, sigma2, max_active)
+    extra_fn = None
+    if use_balm:
+        extra_fn = _balm_extra_fn(
+            m, lidar, lidx, pos_in_win, T_cl, w_lba,
+            balm_voxel, balm_max_voxels, balm_min_points)
+    res = lm_mod.local_ba(
+        cam, T0, X0, obs, fixed_arr, lm_active, iters=iters,
+        extra_fn=extra_fn,
+    )
+    scatter_idx = jnp.where(wvalid, window_arr, m.K)  # padded -> dropped
+    new_T = m.kf_T_cw.at[scatter_idx].set(res.T_cw, mode="drop")
+    new_X = m.lm_pos.at[sel].set(
+        jnp.where(lm_active[:, None], res.X_w, m.lm_pos[sel])
+    )
+    return new_T, new_X
+
+
 def run_local_ba(
     m: mapstate.MapState,
     lidar: LidarStore | None,
@@ -162,95 +256,50 @@ def run_local_ba(
         window, fixed = select_window(m, kf_id, n_window, n_kf=n_kf)
     P = len(window)  # == n_window always
     window_arr = jnp.asarray(window, jnp.int32)
-    wvalid = window_arr != mapstate.NO_KF
     fixed_arr = jnp.asarray(fixed)
 
-    win_pos, uvr, inv_sigma2, stereo, ok = mapstate.landmark_major_obs(
-        m, window_arr, sigma2
-    )
-    # landmarks active in this window, COMPACTED to a fixed budget: the
-    # solver's Schur cross-terms are O(L x Ko^2 x 36) floats — over the full
-    # 32k pool that is ~300 MB of HBM traffic per LM iteration, vs ~a tenth
-    # for the few thousand landmarks a 6-KF window actually observes.
-    lm_active_full = jnp.any(ok, axis=1) & m.lm_valid
-    sel = jnp.argsort(~lm_active_full)[:max_active].astype(jnp.int32)
-    obs = lm_mod.BAObservations(
-        pose_idx=win_pos[sel], uv=uvr[sel], inv_sigma2=inv_sigma2[sel],
-        stereo=stereo[sel], valid=ok[sel],
-    )
-    lm_active = lm_active_full[sel]
-
-    # padded slots get identity poses (finite math; they are fixed + have no
-    # observations, so they contribute nothing)
-    T0 = jnp.where(
-        wvalid[:, None, None],
-        m.kf_T_cw[jnp.clip(window_arr, 0, m.K - 1)],
-        jnp.eye(4, dtype=m.kf_T_cw.dtype),
-    )
-    X0 = m.lm_pos[sel]
-
-    extra_fn = None
     use_balm = lidar is not None and w_lba > 0
-    if use_balm:
-        # last balm_window REAL KFs of the window carry the lidar residual;
-        # static slice size, NO_KF-padded like the window itself
-        bw = min(balm_window, n_window)
-        lidar_ids = [i for i in window if i != mapstate.NO_KF][-bw:]
-        pos_list = [window.index(i) for i in lidar_ids]
-        lidar_ids += [mapstate.NO_KF] * (bw - len(lidar_ids))
-        pos_list += [0] * (bw - len(pos_list))
-        lidx = jnp.asarray(lidar_ids, jnp.int32)
-        lvalid = lidx != mapstate.NO_KF
-        pos_in_win = jnp.asarray(pos_list, jnp.int32)
-        lidx_c = jnp.clip(lidx, 0, m.K - 1)
-        T_wl_init = jax.vmap(
-            lambda T: lie.se3_inverse(T) @ T_cl
-        )(jnp.where(lvalid[:, None, None], m.kf_T_cw[lidx_c],
-                    jnp.eye(4, dtype=m.kf_T_cw.dtype)))
-        clusters = balm_mod.build_clusters(
-            lidar.points[lidx_c], lidar.valid[lidx_c] & lvalid[:, None],
-            T_wl_init,
-            voxel_size=balm_voxel, max_voxels=balm_max_voxels,
-            min_points=balm_min_points,
-        )
-        # (no host-side emptiness check: an empty cluster set yields a zero
-        # quadratic, keeping the step sync-free and single-variant)
-
-        # Partial over the module-level function: the per-window arrays are
-        # DATA (traced jit args), so local_ba compiles once — never a fresh
-        # closure in static_argnames (round-1 recompiled per keyframe).
-        extra_fn = jax.tree_util.Partial(
-            _balm_extra,
-            clusters=clusters,
-            pos_in_win=pos_in_win,
-            lvalid=lvalid,
-            T_cl=T_cl,
-            w_lba=jnp.asarray(w_lba, jnp.float32),
-        )
+    # last balm_window REAL KFs of the window carry the lidar residual;
+    # static slice size, NO_KF-padded like the window itself (host-side
+    # list math only — all device work happens inside _ba_kernel)
+    bw = min(balm_window, n_window)
+    lidar_ids = [i for i in window if i != mapstate.NO_KF][-bw:]
+    pos_list = [window.index(i) for i in lidar_ids]
+    lidar_ids += [mapstate.NO_KF] * (bw - len(lidar_ids))
+    pos_list += [0] * (bw - len(pos_list))
+    lidx = jnp.asarray(lidar_ids, jnp.int32)
+    pos_in_win = jnp.asarray(pos_list, jnp.int32)
 
     if mesh is not None:
         # Distributed path: landmarks/observations shard over the mesh, the
         # reduced camera system is psum'd over ICI, the BALM quadratic
         # enters replicated (parallel/dist_ba). Same problem, same windows.
+        obs, lm_active, sel, T0, X0, wvalid = _ba_prep(
+            m, window_arr, sigma2, max_active)
+        extra_fn = None
+        if use_balm:
+            extra_fn = _balm_extra_fn(
+                m, lidar, lidx, pos_in_win, T_cl, w_lba,
+                balm_voxel, balm_max_voxels, balm_min_points)
         from ..parallel import dist_ba
         Xs, obs_s, act_s = dist_ba.shard_problem(mesh, X0, obs, lm_active)
-        T_cw_new, X_new_s, _ = dist_ba.optimize(
+        res_T, res_X, _ = dist_ba.optimize(
             mesh, cam, T0, Xs, obs_s, act_s, fixed_arr, iters=iters,
             extra_fn=extra_fn,
         )
-        res_T, res_X = T_cw_new, X_new_s
-    else:
-        res = lm_mod.local_ba(
-            cam, T0, X0, obs, fixed_arr, lm_active, iters=iters,
-            extra_fn=extra_fn,
+        scatter_idx = jnp.where(wvalid, window_arr, m.K)
+        new_T = m.kf_T_cw.at[scatter_idx].set(res_T, mode="drop")
+        new_X = m.lm_pos.at[sel].set(
+            jnp.where(lm_active[:, None], res_X, m.lm_pos[sel])
         )
-        res_T, res_X = res.T_cw, res.X_w
+        return m._replace(kf_T_cw=new_T, lm_pos=new_X)
 
-    # write back window poses + (compacted) landmark positions
-    scatter_idx = jnp.where(wvalid, window_arr, m.K)  # padded -> dropped
-    new_T = m.kf_T_cw.at[scatter_idx].set(res_T, mode="drop")
-    new_X = m.lm_pos.at[sel].set(
-        jnp.where(lm_active[:, None], res_X, m.lm_pos[sel])
+    lidar_in = lidar if use_balm else LidarStore(
+        jnp.zeros((1, 1, 3), jnp.float32), jnp.zeros((1, 1), bool))
+    new_T, new_X = _ba_kernel(
+        m, lidar_in, window_arr, fixed_arr, lidx, pos_in_win, cam, sigma2,
+        T_cl, balm_voxel=float(balm_voxel), w_lba=float(w_lba),
+        max_active=max_active, iters=iters, use_balm=use_balm,
+        balm_max_voxels=balm_max_voxels, balm_min_points=balm_min_points,
     )
-    m = m._replace(kf_T_cw=new_T, lm_pos=new_X)
-    return m
+    return m._replace(kf_T_cw=new_T, lm_pos=new_X)

@@ -89,6 +89,44 @@ def _kf_create_kernel(
     return m, rkt, m.n_lm
 
 
+@_partial(jax.jit, static_argnames=("staged", "lio_cfg"))
+def _kf_lidar_kernel(store, vmap, kf_id, src, src_valid, T_cw, T_cl,
+                     blind, scan_voxel, lio_cfg, staged: bool):
+    """KF LiDAR feature store (BuildLidarFeat4KeyFrame) as ONE program:
+    (preprocess + voxel-downsample | reuse the staged world-frame batch) ->
+    plane-feature selection against the live voxel map -> compaction."""
+    T_wl = lie.se3_inverse(T_cw) @ T_cl
+    if staged:
+        # already preprocessed + downsampled for the map-insert staging at
+        # the same voxel size; world-frame -> LiDAR frame
+        ds = lie.se3_apply(lie.se3_inverse(T_wl), src)
+        dsv = src_valid
+    else:
+        keep = pointcloud.preprocess(
+            src, jnp.zeros(src.shape[0]), src_valid, blind=blind,
+        )
+        ds, dsv = pointcloud.voxel_downsample(src, keep, scan_voxel)
+    planar = lio.select_plane_features(vmap, ds, dsv, T_wl, lio_cfg)
+    # compact the best kf_points planar points to the front
+    n = store.points.shape[1]
+    order = jnp.argsort(~planar)  # True first
+    return store.set_kf(kf_id, ds[order][:n], planar[order][:n])
+
+
+@jax.jit
+def _cull_kernel(m, protect, lidar_valid, kf_words, thresh):
+    """KeyFrameCulling + dependent-state scrub as ONE program (un-fused,
+    the chain paid ~6 dispatch floors per cull event)."""
+    m, killed = culling.cull_keyframes(m, protect, thresh=thresh)
+    kill_mask = jnp.zeros(m.K, bool).at[jnp.clip(killed, 0, m.K - 1)].set(
+        killed >= 0)
+    if lidar_valid is not None:
+        lidar_valid = lidar_valid & ~kill_mask[:, None]
+    if kf_words is not None:
+        kf_words = jnp.where(kill_mask[:, None], -1, kf_words)
+    return m, killed, lidar_valid, kf_words
+
+
 @_partial(jax.jit, static_argnames=("max_pairs", "do_triangulate"))
 def _mapping_maintain_kernel(
     m, kf_id, neighbors, nb_fuse, cam, sigma2, scale_factors,
@@ -928,9 +966,10 @@ class System:
         kf_id = min(max(self.ref_kf, 0), self.cfg.tracking.max_kf - 1)
         m = self.map
 
-        # frame-path variants that only fire on rare host branches
+        # frame-path variants that only fire on rare host branches (uint8
+        # input — what cameras deliver and what the bench/app layer sends)
         c = self.cfg.camera
-        img0 = jnp.zeros((c.height, c.width), jnp.float32)
+        img0 = jnp.zeros((c.height, c.width), jnp.uint8)
         frame = tracking.build_frame(
             img0, img0, self.cam, self.scale_factors,
             n_features=self.cfg.orb.n_features, n_levels=self.cfg.orb.n_levels)
@@ -959,8 +998,12 @@ class System:
             m, jnp.int32(kf_id), nbs, jnp.int32(mapstate.NO_KF), self.cam,
             self.sigma2, self.scale_factors, max_pairs=t.tri_pairs,
             do_triangulate=t.triangulate)
-        culling.cull_keyframes(
-            m, jnp.zeros(m.K, bool), thresh=t.cull_kf_redundancy)
+        ls = self.lidar_store if self.lidar_enabled else None
+        _cull_kernel(
+            m, jnp.zeros(m.K, bool),
+            ls.valid if ls is not None else None,
+            self.kf_words if self.voc is not None else None,
+            jnp.float32(t.cull_kf_redundancy))
         mapstate.top_covisible(m, jnp.int32(kf_id), t.local_window - 1,
                                min_weight=10)
 
@@ -1080,8 +1123,9 @@ class System:
     def _cull_keyframes(self, protect: set[int]):
         """KeyFrameCulling (LocalMapping.cc:913): invalidate the most
         redundant keyframe (>= cull_kf_redundancy of its landmarks observed
-        by >= 4 other KFs). Selection and all state updates run ON DEVICE;
-        the killed slot id rides back asynchronously and updates the host
+        by >= 4 other KFs). Selection and all state updates run ON DEVICE
+        in ONE program (redundancy + removal + lidar/BoW mask scrub); the
+        killed slot id rides back asynchronously and updates the host
         ``kf_alive`` mirror at the next frame sync (one-frame lag — a culled
         KF may appear in one more window with zero remaining observations,
         which is inert). Culled slots keep their (frozen) pose so per-frame
@@ -1093,18 +1137,18 @@ class System:
                 pm[k] = True
         # not-yet-drained prior cull: protect nothing extra (kf_valid on
         # device already reflects it)
-        self.map, killed = culling.cull_keyframes(
+        ls = self.lidar_store if (self.lidar_enabled
+                                  and self.lidar_store is not None) else None
+        self.map, killed, ls_valid, kf_words = _cull_kernel(
             self.map, jnp.asarray(pm),
-            thresh=self.cfg.tracking.cull_kf_redundancy,
+            ls.valid if ls is not None else None,
+            self.kf_words if self.voc is not None else None,
+            jnp.float32(self.cfg.tracking.cull_kf_redundancy),
         )
-        kill_mask = jnp.zeros(K, bool).at[jnp.clip(killed, 0, K - 1)].set(
-            killed >= 0)
-        if self.lidar_enabled and self.lidar_store is not None:
-            self.lidar_store = self.lidar_store._replace(
-                valid=self.lidar_store.valid & ~kill_mask[:, None]
-            )
-        if self.voc is not None:
-            self.kf_words = jnp.where(kill_mask[:, None], -1, self.kf_words)
+        if ls_valid is not None:
+            self.lidar_store = self.lidar_store._replace(valid=ls_valid)
+        if kf_words is not None:
+            self.kf_words = kf_words
         self._async_fetch(killed)
         self._cull_fetch = killed
 
@@ -1413,33 +1457,24 @@ class System:
 
     # ------------------------------------------------------------------
     def _store_kf_lidar(self, kf_id, scan, scan_valid):
-        """Downsample + planar-select the KF's scan (feature_extraction)."""
-        T_wl = lie.se3_inverse(self.T_cw) @ self.T_cl
+        """Downsample + planar-select the KF's scan (feature_extraction).
+
+        One fused program (staged or raw-scan variant): un-fused, the
+        preprocess -> downsample -> plane-select -> compact chain paid ~8
+        dispatch floors (~27 ms/KF measured, tools/prof_kf_event.py)."""
         staged = getattr(self, "_last_staged_scan", None)
-        if (not self.use_imu and staged is not None
-                and self.cfg.lidar.scan_voxel == self.cfg.lidar.map_voxel):
-            # this frame's scan was already preprocessed + voxel-downsampled
-            # for the map-insert staging (camera_scan_stage) at the SAME
-            # voxel size — reuse it instead of re-running the 131k-point
-            # preprocess chain (~15 ms/KF on chip); the staged points are
-            # world-frame, transform back into the LiDAR frame
-            pts_w, dsv = staged
-            ds = lie.se3_apply(lie.se3_inverse(T_wl), pts_w)
+        use_staged = (not self.use_imu and staged is not None
+                      and self.cfg.lidar.scan_voxel == self.cfg.lidar.map_voxel)
+        if use_staged:
+            src, src_valid = staged
         else:
-            scan = jnp.asarray(scan)
-            keep = pointcloud.preprocess(
-                scan, jnp.zeros(scan.shape[0]), jnp.asarray(scan_valid),
-                blind=self.cfg.lidar.blind,
-            )
-            ds, dsv = pointcloud.voxel_downsample(
-                scan, keep, self.cfg.lidar.scan_voxel)
-        planar = lio.select_plane_features(self.vmap, ds, dsv, T_wl, self.lio_cfg)
-        # compact the best kf_points planar points to the front
-        n = self.lidar_store.points.shape[1]
-        order = jnp.argsort(~planar)  # True first
-        pts = ds[order][:n]
-        val = planar[order][:n]
-        self.lidar_store = self.lidar_store.set_kf(kf_id, pts, val)
+            src, src_valid = jnp.asarray(scan), jnp.asarray(scan_valid)
+        self.lidar_store = _kf_lidar_kernel(
+            self.lidar_store, self.vmap, jnp.int32(kf_id), src, src_valid,
+            self.T_cw, self.T_cl, jnp.float32(self.cfg.lidar.blind),
+            jnp.float32(self.cfg.lidar.scan_voxel), lio_cfg=self.lio_cfg,
+            staged=use_staged,
+        )
 
     # ------------------------------------------------------------------
     def _create_map_in_atlas(self):
