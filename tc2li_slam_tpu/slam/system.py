@@ -281,11 +281,12 @@ class System:
         work drains hides most of that. Returns a token for ``track``'s
         ``staged=`` argument. The pipelining the reference gets from its
         sensor-callback threads (camera_lidar_inertial.cc:139-145)."""
-        bundle = [img_l, img_r] + ([scan, scan_valid] if scan is not None else [])
+        bundle = [img_l, img_r] + ([scan] if scan is not None else []) \
+            + ([scan_valid] if scan_valid is not None else [])
         dev = jax.device_put(bundle)
         return {"img_l": dev[0], "img_r": dev[1],
                 "scan": dev[2] if scan is not None else None,
-                "scan_valid": dev[3] if scan is not None else None}
+                "scan_valid": dev[3] if scan_valid is not None else None}
 
     # ------------------------------------------------------------------
     def _scan_to_device(self, scan):
@@ -311,6 +312,11 @@ class System:
             img_l, img_r = staged["img_l"], staged["img_r"]
             if staged.get("scan") is not None:
                 scan, scan_valid = staged["scan"], staged["scan_valid"]
+        if scan is not None and scan_valid is None:
+            # valid-free wire format: the loader zeroes invalid pad slots,
+            # which land inside the blind radius and are dropped by the
+            # device-side preprocess — an all-ones mask is exact
+            scan_valid = jnp.ones(np.shape(scan)[0], bool)
         # Timestamp-jump guard (Tracking.cc:1919-1946): a gap above 1 s (or
         # a time loop-back, LidarFrontEnd.cpp:239-243) means the sensor
         # stream broke — freeze the map into the atlas and restart tracking.
@@ -896,12 +902,23 @@ class System:
                 self.kf_alive[killed] = False
 
     def _lidar_flush(self):
-        """Insert all staged scan batches into the voxel-map pool at once."""
+        """Insert all staged scan batches into the voxel-map pool at once.
+
+        The batch list is padded to a CONSTANT ``insert_every`` entries
+        (empty batches carry valid=False): a keyframe event can force an
+        early flush with 1-3 staged batches, and a per-count concat shape
+        would compile a fresh multi-second insert program per count —
+        exactly the mid-run compile class the prewarm exists to prevent."""
         if not self._lidar_pending:
             return
-        pts = jnp.concatenate([p for p, _ in self._lidar_pending])
-        val = jnp.concatenate([v for _, v in self._lidar_pending])
+        pend = list(self._lidar_pending)
         self._lidar_pending = []
+        n_pad = max(self.cfg.lidar.insert_every - len(pend), 0)
+        if n_pad:
+            p0, v0 = pend[0]
+            pend += [(jnp.zeros_like(p0), jnp.zeros_like(v0))] * n_pad
+        pts = jnp.concatenate([p for p, _ in pend])
+        val = jnp.concatenate([v for _, v in pend])
         center = lie.translation(lie.se3_inverse(self.T_cw) @ self.T_cl)
         self.vmap = lio.camera_map_flush(self.vmap, pts, val, center)
 
