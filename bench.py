@@ -229,15 +229,19 @@ def run_imu_mode(frames, imgs_q, scans_q, cfg, n_frames, n_warm):
         track(i)
     slam.prewarm()  # incl. the VIBA1/VIBA2 ladder + FullInertialBA window
     slam.timers.reset()
+    n_meas = max(min(n_warm + n_frames, len(frames)) - n_warm, 0)
     t0 = time.perf_counter()
-    for i in range(n_warm, min(n_warm + n_frames, len(frames))):
+    for i in range(n_warm, n_warm + n_meas):
         track(i)
     dt = time.perf_counter() - t0
     st = slam.timers.stats()
+    if n_meas == 0:
+        return {"fps": None, "frames": 0, "note": "sequence shorter than warmup"}
     return {
-        "fps": round(n_frames / dt, 3),
+        "fps": round(n_meas / dt, 3),
+        "frames": n_meas,
         "stage_ms_per_frame": {
-            k: round(v["total_s"] * 1e3 / n_frames, 2)
+            k: round(v["total_s"] * 1e3 / n_meas, 2)
             for k, v in sorted(st.items())},
         "vi_initialized": bool(slam._vi_initialized),
         "vi_stage": slam._vi_stage,

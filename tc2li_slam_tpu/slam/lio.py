@@ -127,11 +127,21 @@ def lio_scan_step(
     )
 
     # 3. preprocess + voxel downsample in lidar frame; the downsample
-    # compacts valid voxels to the front, so truncating to work_cap bounds
-    # the kNN / update / insert cost independent of the raw pad size
+    # compacts valid voxels to the front (KEY order = spatial order), so the
+    # work_cap subset must be STRIDED over the whole valid range — a prefix
+    # truncation keeps one spatial REGION of the scan and the biased
+    # geometry eventually diverges the update (reproduced at bench frame 66:
+    # velocity 2 -> 17 m/s in one update). Strided indices cover the full
+    # scan at any cap; <= cap valid voxels reduce to the identity.
     keep = pointcloud.preprocess(pts_end, t_points, scan_valid, blind=cfg.blind)
     pts_ds, ds_valid = pointcloud.voxel_downsample(pts_end, keep, cfg.scan_voxel)
-    pts_ds, ds_valid = pts_ds[: cfg.work_cap], ds_valid[: cfg.work_cap]
+    if pts_ds.shape[0] > cfg.work_cap:
+        n = jnp.sum(ds_valid)
+        step = jnp.maximum(n, cfg.work_cap).astype(jnp.float32) / cfg.work_cap
+        pos = (jnp.arange(cfg.work_cap).astype(jnp.float32) * step)
+        idx = jnp.minimum(pos.astype(jnp.int32), pts_ds.shape[0] - 1)
+        pts_ds = pts_ds[idx]
+        ds_valid = idx < n
 
     # 4. iterated point-to-plane update
     h_fn = make_h_fn(m, pts_ds, ds_valid, cfg)

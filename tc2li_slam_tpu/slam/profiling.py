@@ -23,6 +23,11 @@ import os
 import time
 from collections import defaultdict
 
+# Verbose inertial-ladder / reset decisions (TC2LI_DEBUG_VI=1): the staged
+# VI init runs rarely and data-dependently — when it silently declines to
+# fire, this is the cheapest way to see why.
+DEBUG_VI = os.environ.get("TC2LI_DEBUG_VI") == "1"
+
 
 def _device_flush():
     """Block until all previously enqueued device work has finished.

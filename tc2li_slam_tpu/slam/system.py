@@ -113,6 +113,208 @@ def _kf_lidar_kernel(store, vmap, kf_id, src, src_valid, T_cw, T_cl,
     return store.set_kf(kf_id, ds[order][:n], planar[order][:n])
 
 
+@_partial(jax.jit, static_argnames=(
+    "iters", "use_balm", "n_l", "max_active", "balm_voxel",
+    "balm_max_voxels", "balm_min_points", "w_lba"))
+def _lvi_kernel(
+    m, imu_store, lidar, window_arr, wvalid, fac_valid, filt_bg, filt_ba,
+    cam, T_cb, T_bc, T_cl, sigma2, gravity_vis,
+    iters: int, use_balm: bool, n_l: int, max_active: int,
+    balm_voxel: float, balm_max_voxels: int, balm_min_points: int,
+    w_lba: float,
+):
+    """The whole LVI-BA pass (LocalLVIBA / FullInertialBA dispatch,
+    LocalMapping.cc:158-173, Optimizer.cc:394) as ONE program: window
+    factor assembly, observation prep + compaction, BALM cluster build,
+    the 15-dof inertial solve, and pose/velocity/bias/landmark writeback.
+    Un-fused, the prep + writeback chain paid ~40 dispatch floors per
+    event through the tunneled runtime. Returns (map', imu_store')."""
+    P = window_arr.shape[0]
+    sl = window_arr[1:]
+    fac = inertial_ba.ImuWindowFactors(
+        dR=imu_store.dR[sl], dV=imu_store.dV[sl], dP=imu_store.dP[sl],
+        JRg=imu_store.JRg[sl], JVg=imu_store.JVg[sl], JVa=imu_store.JVa[sl],
+        JPg=imu_store.JPg[sl], JPa=imu_store.JPa[sl],
+        dt=imu_store.dt[sl], C_inv=imu_store.C_inv[sl],
+        bg_lin=imu_store.bg_lin[sl], ba_lin=imu_store.ba_lin[sl],
+        info_bg=jnp.full((P - 1,), 1e5), info_ba=jnp.full((P - 1,), 1e4),
+        valid=fac_valid,
+    )
+    window_masked = jnp.where(wvalid, window_arr, mapstate.NO_KF)
+    win_pos, uvr, inv_s2, stereo, ok = mapstate.landmark_major_obs(
+        m, window_masked, sigma2)
+    from ..solver.lm import BAObservations
+    # compact to the active-landmark budget (see run_local_ba): the
+    # 15-dof LVI Schur cross-terms are even bigger than the visual ones
+    lm_active_full = jnp.any(ok, axis=1) & m.lm_valid
+    sel = jnp.argsort(~lm_active_full)[:max_active].astype(jnp.int32)
+    obs = BAObservations(pose_idx=win_pos[sel], uv=uvr[sel],
+                         inv_sigma2=inv_s2[sel], stereo=stereo[sel],
+                         valid=ok[sel])
+    lm_active = lm_active_full[sel]
+    T_cw_win = m.kf_T_cw[window_arr]
+    T_wb_win = jax.vmap(
+        lambda T: lie.se3_inverse(T) @ lie.se3_inverse(T_bc))(T_cw_win)
+    # velocity init: optimizer output where available, else a finite
+    # difference of keyframe positions (InitializeIMU seeds the same way)
+    pos_w = T_wb_win[:, :3, 3]
+    dts = jnp.maximum(imu_store.dt[window_arr][1:], 1e-2)
+    v_mid = (pos_w[1:] - pos_w[:-1]) / dts[:, None]
+    v_fd = jnp.concatenate([v_mid[:1], v_mid], axis=0)
+    vel0 = jnp.where(imu_store.vel_opt[window_arr][:, None],
+                     imu_store.vel[window_arr], v_fd)
+    # per-KF biases (estimated in the window; seeded by the inertial
+    # initialization, NOT pinned to the ESEKF values as in round 1)
+    bg0 = jnp.where(imu_store.vel_opt[window_arr][:, None],
+                    imu_store.bg[window_arr], jnp.tile(filt_bg, (P, 1)))
+    ba0 = jnp.where(imu_store.vel_opt[window_arr][:, None],
+                    imu_store.ba[window_arr], jnp.tile(filt_ba, (P, 1)))
+    # padded slots: identity-anchored finite state, held fixed
+    T_wb_win = jnp.where(wvalid[:, None, None], T_wb_win,
+                         jnp.eye(4, dtype=T_wb_win.dtype))
+    state0 = inertial_ba.InertialState(
+        T_wb=T_wb_win, vel=vel0 * wvalid[:, None], bg=bg0, ba=ba0,
+    )
+    fixed = jnp.zeros(P, bool).at[0].set(True) | ~wvalid
+    # BALM plane eigen-factor over the first <= balm_window poses
+    # (EdgeLidar in LocalLVIBA, OptimizerWithLidar.cc:697-727)
+    balm_kw = {}
+    if use_balm:
+        from ..solver import balm as balm_mod
+        lidx = window_arr[:n_l]
+        T_wl_init = jax.vmap(
+            lambda T: lie.se3_inverse(T) @ T_cl
+        )(jnp.where(wvalid[:n_l, None, None], m.kf_T_cw[lidx],
+                    jnp.eye(4, dtype=m.kf_T_cw.dtype)))
+        clusters = balm_mod.build_clusters(
+            lidar.points[lidx], lidar.valid[lidx] & wvalid[:n_l, None],
+            T_wl_init,
+            voxel_size=balm_voxel, max_voxels=balm_max_voxels,
+            min_points=balm_min_points,
+        )
+        balm_kw = dict(
+            balm_clusters=clusters,
+            T_bl=T_bc @ T_cl,               # body-from-lidar
+            w_lidar=w_lba,
+            use_balm=True, n_lidar=n_l,
+        )
+    res = inertial_ba.lvi_ba(
+        cam, T_cb, state0, m.lm_pos[sel], obs, fac,
+        fixed, lm_active, gravity_vis, iters=iters, **balm_kw,
+    )
+    # write back: T_cw = inv(T_wb @ T_bc); velocities + biases
+    T_cw_new = jax.vmap(lambda T: lie.se3_inverse(T @ T_bc))(res.state.T_wb)
+    lm_pos_new = m.lm_pos.at[sel].set(
+        jnp.where(lm_active[:, None], res.X_w, m.lm_pos[sel])
+    )
+    w_sc = jnp.where(wvalid, window_arr, m.K)
+    m = m._replace(
+        kf_T_cw=m.kf_T_cw.at[w_sc].set(T_cw_new, mode="drop"),
+        lm_pos=lm_pos_new,
+    )
+    imu_store = imu_store._replace(
+        vel=imu_store.vel.at[w_sc].set(res.state.vel, mode="drop"),
+        vel_opt=imu_store.vel_opt.at[w_sc].set(True, mode="drop"),
+        bg=imu_store.bg.at[w_sc].set(res.state.bg, mode="drop"),
+        ba=imu_store.ba.at[w_sc].set(res.state.ba, mode="drop"),
+    )
+    return m, imu_store
+
+
+@_partial(jax.jit, static_argnames=("use_last_frame", "has_prev"))
+def _vi_refine_kernel(
+    m, imu_store, frame, res_T_cw, res_feat_lm, kf, T_cb, T_bc, cam, sigma2,
+    cal, gravity_vis, imu_ring, ring_n, last_window, prev_state, frame_prior,
+    vi_vel, last_T_cw, use_last_frame: bool, has_prev: bool,
+):
+    """The tightly-coupled per-frame VI refinement as ONE program:
+    anchor/obs prep + preintegration + Pose-Inertial solve + adoption gate
+    (PoseInertialOptimizationLast{KeyFrame,Frame}, Optimizer.cc:2469/2854).
+
+    Returns (T_cw', velocity', vi_vel', frame_prior', prev_vi_state')."""
+    from ..solver import pose_inertial as pi_mod
+
+    T_wb_kf = lie.se3_inverse(m.kf_T_cw[kf]) @ T_cb
+    anchor = pi_mod.FrameVIState(
+        T_wb=T_wb_kf, vel=imu_store.vel[kf],
+        bg=imu_store.bg[kf], ba=imu_store.ba[kf],
+    )
+    # matched landmarks of this frame (track_step's assignment)
+    has = res_feat_lm != mapstate.NO_LM
+    lm_c = jnp.clip(res_feat_lm, 0, m.L - 1)
+    X_w = m.lm_pos[lm_c]
+    inv_s2 = 1.0 / sigma2[jnp.clip(frame.level, 0, sigma2.shape[0] - 1)]
+    stereo = frame.uvr[:, 2] > 0
+    valid = has & frame.valid
+
+    state0 = pi_mod.FrameVIState(
+        T_wb=lie.se3_inverse(res_T_cw) @ T_cb,
+        vel=vi_vel if has_prev else anchor.vel,
+        bg=anchor.bg, ba=anchor.ba,
+    )
+
+    def _floor_cov(pre):
+        # Same unmodeled-error covariance floor the KF store applies
+        # (imu_mode.set_kf): a quiet IMU preintegrates to information
+        # ~1e8, far beyond what the anchor state's own accuracy (window
+        # LVI-BA velocities, time sync, extrinsics) supports; flooring
+        # keeps the per-frame factor honest vs the visual terms.
+        C9 = pre.C[:9, :9] + jnp.diag(jnp.concatenate([
+            jnp.full(3, imu_mode.SIGMA_ROT_FLOOR ** 2),
+            jnp.full(3, imu_mode.SIGMA_VEL_FLOOR ** 2),
+            jnp.full(3, imu_mode.SIGMA_POS_FLOOR ** 2),
+        ]))
+        return pre._replace(C=pre.C.at[:9, :9].set(C9))
+
+    if use_last_frame:
+        # preintegration over THIS frame's window only, at the previous
+        # frame's bias linearization
+        g, a, d = last_window
+        pre = _floor_cov(imu_est.integrate(cal, g, a, d,
+                                           prev_state.bg, prev_state.ba))
+        info_bg = 1.0 / (cal.sigma_gw ** 2 * jnp.maximum(pre.dt, 1e-3))
+        info_ba = 1.0 / (cal.sigma_aw ** 2 * jnp.maximum(pre.dt, 1e-3))
+        out = pi_mod.optimize_last_frame(
+            cam, T_cb, state0, prev_state, frame_prior, pre, gravity_vis,
+            X_w, frame.uvr, inv_s2, stereo, valid, info_bg, info_ba,
+        )
+    else:
+        g, a, d = imu_ring
+        d = jnp.where(jnp.arange(d.shape[0]) < ring_n, d, 0.0)
+        pre = _floor_cov(imu_est.integrate(cal, g, a, d, anchor.bg,
+                                           anchor.ba))
+        info_bg = 1.0 / (cal.sigma_gw ** 2 * jnp.maximum(pre.dt, 1e-3))
+        info_ba = 1.0 / (cal.sigma_aw ** 2 * jnp.maximum(pre.dt, 1e-3))
+        out = pi_mod.optimize_last_kf(
+            cam, T_cb, state0, anchor, pre, gravity_vis,
+            X_w, frame.uvr, inv_s2, stereo, valid, info_bg, info_ba,
+        )
+    # Adoption gate, fully on device: a degenerate solve (few visual
+    # inliers backing the refine, or a non-finite state) must not
+    # overwrite the already-accepted visual pose — the reference inspects
+    # the optimization's inlier count the same way (Tracking.cc:2874).
+    st_ok = jnp.all(jnp.asarray([
+        jnp.all(jnp.isfinite(out.state.T_wb)),
+        jnp.all(jnp.isfinite(out.state.vel)),
+        jnp.all(jnp.isfinite(out.state.bg)),
+        jnp.all(jnp.isfinite(out.state.ba)),
+    ]))
+    good = (out.n_inliers >= 10) & st_ok
+    goodf = good.astype(jnp.float32)
+    T_cw_ref = lie.se3_inverse(out.state.T_wb @ T_bc)
+    T_cw_new = jnp.where(good, T_cw_ref, res_T_cw)
+    fallback = pi_mod.FrameVIState(
+        T_wb=lie.se3_inverse(res_T_cw) @ T_cb,
+        vel=state0.vel, bg=state0.bg, ba=state0.ba,
+    )
+    adopted = jax.tree_util.tree_map(
+        lambda x, y: jnp.where(good, x, y), out.state, fallback)
+    velocity = T_cw_new @ lie.se3_inverse(last_T_cw)
+    # on failure the prior chain is dropped (weight 0 disables the factor)
+    prior = out.prior._replace(weight=out.prior.weight * goodf)
+    return T_cw_new, velocity, adopted.vel, prior, adopted
+
+
 @jax.jit
 def _cull_kernel(m, protect, lidar_valid, kf_words, thresh):
     """KeyFrameCulling + dependent-state scrub as ONE program (un-fused,
@@ -181,7 +383,7 @@ class System:
                 scan_voxel=cfg.lidar.scan_voxel, map_voxel=cfg.lidar.map_voxel,
                 plane_thresh=cfg.lidar.plane_thresh, meas_cov=cfg.lidar.meas_cov,
                 max_iters=cfg.lidar.max_iters, det_range=cfg.lidar.det_range,
-                blind=cfg.lidar.blind,
+                blind=cfg.lidar.blind, work_cap=cfg.lidar.lio_work_cap,
             )
         else:
             self.vmap = None
@@ -459,8 +661,9 @@ class System:
         """Per-frame tightly-coupled pose refinement (the reference runs
         PoseInertialOptimizationLastKeyFrame right after a map update and
         ...LastFrame otherwise, Tracking.cc:2858-2878). Adopts the refined
-        pose/velocity and chains the marginalization prior; all device
-        values — no extra host sync."""
+        pose/velocity and chains the marginalization prior; ONE fused
+        program per frame (un-fused, the prep chain paid ~30 dispatch
+        floors ≈ 80 ms/frame through the tunneled runtime)."""
         pi_mod = self._pi
         if self._imu_ring is None or self._imu_ring_n == 0:
             return
@@ -470,98 +673,26 @@ class System:
             # until the next keyframe resets the ring
             self._frame_prior = None
             return
-        m = self.map
-        kf = max(self.ref_kf, 0)
-        T_wb_kf = lie.se3_inverse(m.kf_T_cw[kf]) @ self.T_cb
-        anchor = pi_mod.FrameVIState(
-            T_wb=T_wb_kf, vel=self.imu_store.vel[kf],
-            bg=self.imu_store.bg[kf], ba=self.imu_store.ba[kf],
-        )
-        # matched landmarks of this frame (track_step's assignment)
-        feat_lm = res.feat_lm
-        has = feat_lm != mapstate.NO_LM
-        lm_c = jnp.clip(feat_lm, 0, m.L - 1)
-        X_w = m.lm_pos[lm_c]
-        frame = self._last_frame
-        inv_s2 = 1.0 / self.sigma2[jnp.clip(frame.level, 0,
-                                            self.sigma2.shape[0] - 1)]
-        stereo = frame.uvr[:, 2] > 0
-        valid = has & frame.valid
-
-        state0 = pi_mod.FrameVIState(
-            T_wb=lie.se3_inverse(res.T_cw) @ self.T_cb,
-            vel=anchor.vel if self._prev_vi_state is None else self._vi_vel,
-            bg=anchor.bg, ba=anchor.ba,
-        )
-        cal = self.imu_cal
-
-        def _floor_cov(pre):
-            # Same unmodeled-error covariance floor the KF store applies
-            # (imu_mode.set_kf): a quiet IMU preintegrates to information
-            # ~1e8, far beyond what the anchor state's own accuracy (window
-            # LVI-BA velocities, time sync, extrinsics) supports; flooring
-            # keeps the per-frame factor honest vs the visual terms.
-            C9 = pre.C[:9, :9] + jnp.diag(jnp.concatenate([
-                jnp.full(3, imu_mode.SIGMA_ROT_FLOOR ** 2),
-                jnp.full(3, imu_mode.SIGMA_VEL_FLOOR ** 2),
-                jnp.full(3, imu_mode.SIGMA_POS_FLOOR ** 2),
-            ]))
-            return pre._replace(C=pre.C.at[:9, :9].set(C9))
         use_last_frame = (self.frames_since_kf > 0
                           and self._frame_prior is not None
                           and self._prev_vi_state is not None)
-        if use_last_frame:
-            # preintegration over THIS frame's window only, at the previous
-            # frame's bias linearization
-            g, a, d = self._last_imu_window
-            pre = _floor_cov(imu_est.integrate(cal, g, a, d,
-                                               self._prev_vi_state.bg,
-                                               self._prev_vi_state.ba))
-            info_bg = 1.0 / (cal.sigma_gw ** 2 * jnp.maximum(pre.dt, 1e-3))
-            info_ba = 1.0 / (cal.sigma_aw ** 2 * jnp.maximum(pre.dt, 1e-3))
-            out = pi_mod.optimize_last_frame(
-                self.cam, self.T_cb, state0, self._prev_vi_state,
-                self._frame_prior, pre, self.gravity_vis,
-                X_w, frame.uvr, inv_s2, stereo, valid, info_bg, info_ba,
-            )
-        else:
-            g, a, d = self._imu_ring
-            d = jnp.where(jnp.arange(d.shape[0]) < self._imu_ring_n, d, 0.0)
-            pre = _floor_cov(imu_est.integrate(cal, g, a, d, anchor.bg,
-                                               anchor.ba))
-            info_bg = 1.0 / (cal.sigma_gw ** 2 * jnp.maximum(pre.dt, 1e-3))
-            info_ba = 1.0 / (cal.sigma_aw ** 2 * jnp.maximum(pre.dt, 1e-3))
-            out = pi_mod.optimize_last_kf(
-                self.cam, self.T_cb, state0, anchor, pre, self.gravity_vis,
-                X_w, frame.uvr, inv_s2, stereo, valid, info_bg, info_ba,
-            )
-        # Adoption gate, fully on device (no extra host sync): a degenerate
-        # solve (few visual inliers backing the refine, or a non-finite
-        # state) must not overwrite the already-accepted visual pose — the
-        # reference inspects the optimization's inlier count the same way
-        # (PoseInertialOptimizationLastFrame's return, Tracking.cc:2874).
-        st_ok = jnp.all(jnp.asarray([
-            jnp.all(jnp.isfinite(out.state.T_wb)),
-            jnp.all(jnp.isfinite(out.state.vel)),
-            jnp.all(jnp.isfinite(out.state.bg)),
-            jnp.all(jnp.isfinite(out.state.ba)),
-        ]))
-        good = (out.n_inliers >= 10) & st_ok
-        goodf = good.astype(jnp.float32)
-        T_cw_ref = lie.se3_inverse(out.state.T_wb @ self.T_bc)
-        T_cw_new = jnp.where(good, T_cw_ref, res.T_cw)
-        fallback = pi_mod.FrameVIState(
-            T_wb=lie.se3_inverse(res.T_cw) @ self.T_cb,
-            vel=state0.vel, bg=state0.bg, ba=state0.ba,
+        has_prev = self._prev_vi_state is not None
+        dummy_state = pi_mod.FrameVIState(
+            jnp.eye(4), jnp.zeros(3), jnp.zeros(3), jnp.zeros(3))
+        out = _vi_refine_kernel(
+            self.map, self.imu_store, self._last_frame, res.T_cw,
+            res.feat_lm, jnp.int32(max(self.ref_kf, 0)), self.T_cb,
+            self.T_bc, self.cam, self.sigma2, self.imu_cal,
+            self.gravity_vis, self._imu_ring, jnp.int32(self._imu_ring_n),
+            self._last_imu_window,
+            self._prev_vi_state if has_prev else dummy_state,
+            self._frame_prior if self._frame_prior is not None
+            else pi_mod.FramePrior.empty(),
+            self._vi_vel, self.last_T_cw,
+            use_last_frame=use_last_frame, has_prev=has_prev,
         )
-        adopted = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(good, a, b), out.state, fallback)
-        self.T_cw = T_cw_new
-        self.velocity = T_cw_new @ lie.se3_inverse(self.last_T_cw)
-        self._vi_vel = adopted.vel
-        # on failure the prior chain is dropped (weight 0 disables the factor)
-        self._frame_prior = out.prior._replace(weight=out.prior.weight * goodf)
-        self._prev_vi_state = adopted
+        (self.T_cw, self.velocity, self._vi_vel, self._frame_prior,
+         self._prev_vi_state) = out
 
     # ------------------------------------------------------------------
     def _predict_pose_imu(self):
@@ -591,6 +722,9 @@ class System:
     # ------------------------------------------------------------------
     def _reset_imu(self):
         """Re-arm the inertial stack after a bad-IMU / stream-break event."""
+        if profiling.DEBUG_VI:
+            print(f"[vi] RESET at frame {self.frame_idx} t={self._last_t}",
+                  flush=True)
         self.filt = esekf.init_filter()
         self._imu_initialized = False
         self._vi_initialized = False
@@ -1053,7 +1187,13 @@ class System:
                 self._vi_initialized, self._vi_stage, self._vi_init_time)
         try:
             if self._vi_initialized:
-                self._run_lvi_ba(kf_id)
+                # every reachable landmark bucket, for BOTH window sizes —
+                # a bucket first reached mid-run would otherwise drop a
+                # minute-class LVI-BA compile into the live frame stream
+                for b in self._ba_buckets_reachable():
+                    self._run_lvi_ba(kf_id, max_active=b)
+                    self._run_lvi_ba(kf_id, n_window=20, use_balm=False,
+                                     iters=10, max_active=b)
                 for stage in (1, 2):
                     self._initialize_imu(kf_id, stage=stage)
         finally:
@@ -1220,16 +1360,32 @@ class System:
         LocalMapping::Run:210-243); callers must not advance the
         refinement ladder on an early-out."""
         from ..solver import inertial_init
-        window = [k for k in range(max(0, kf_id - 19), kf_id + 1)
-                  if self.kf_alive[k]]
+        # CONSECUTIVE temporal window, culled KFs included (same policy as
+        # _run_lvi_ba): culled slots keep their frozen pose and their
+        # preintegration factor, so the consecutive chain stays intact —
+        # where the reference merges preintegrations into the next KF on
+        # cull (KeyFrame::SetBadFlag), this build keeps the factor chain
+        # whole by construction. Filtering to alive KFs instead would
+        # break the chain at every cull and permanently starve the
+        # VIBA1/VIBA2 rungs of factors (observed in the r5 bench).
+        window = list(range(max(0, kf_id - 19), kf_id + 1))
         if len(window) < 4:
             return False
+        # Factor validity from the HOST mirror — no device sync; window
+        # padded to a FIXED 20 slots by repeating the last KF (real poses,
+        # invalid factors): a data-dependent window length compiled a fresh
+        # inertial_optimization + ~30 fresh eager-op programs per rung,
+        # ~0.4 s EACH, mid-run (JAX_LOG_COMPILES caught it in the r5 bench).
+        P_INIT = 20
+        fac_valid_host = [self._has_factor_host[b] for b in window[1:]]
+        if sum(fac_valid_host) < 3:
+            return False
+        pad = P_INIT - len(window)
+        wvalid_host = [True] * len(window) + [False] * pad
+        window = window + [window[-1]] * pad
         window_arr = jnp.asarray(window, jnp.int32)
         fac = imu_mode.window_factors(self.imu_store, window,
                                       has_factor=self._has_factor_host)
-        n_fac = int(jnp.sum(fac.valid))
-        if n_fac < 3:
-            return False
         T_wb = self._kf_body_poses(window_arr)
         # Gravity frame. With a RUNNING LIO the ESEKF owns gravity at every
         # stage: its S2 state is continuously corrected by the point-to-
@@ -1259,11 +1415,16 @@ class System:
             fix_scale=True, fix_gravity=fix_gravity,
         )
         self.gravity_vis = res.R_wg @ jnp.asarray([0.0, 0.0, -9.81])
+        # padded (repeated) slots are dropped from the writeback
+        w_sc = jnp.where(jnp.asarray(wvalid_host), window_arr,
+                         self.cfg.tracking.max_kf)
         self.imu_store = self.imu_store._replace(
-            vel=self.imu_store.vel.at[window_arr].set(res.vel),
-            vel_opt=self.imu_store.vel_opt.at[window_arr].set(True),
-            bg=self.imu_store.bg.at[window_arr].set(res.bg[None, :]),
-            ba=self.imu_store.ba.at[window_arr].set(res.ba[None, :]),
+            vel=self.imu_store.vel.at[w_sc].set(res.vel, mode="drop"),
+            vel_opt=self.imu_store.vel_opt.at[w_sc].set(True, mode="drop"),
+            bg=self.imu_store.bg.at[w_sc].set(
+                jnp.broadcast_to(res.bg, (len(window), 3)), mode="drop"),
+            ba=self.imu_store.ba.at[w_sc].set(
+                jnp.broadcast_to(res.ba, (len(window), 3)), mode="drop"),
         )
         if not self._vi_initialized:
             self._vi_init_time = self._last_t
@@ -1296,12 +1457,17 @@ class System:
             # advance the ladder only when the rung actually ran (too-few
             # alive KFs / factors early-outs are retried at later KFs,
             # matching the reference's per-pass retry)
-            if self._initialize_imu(kf_id, stage=nxt):
+            ran = self._initialize_imu(kf_id, stage=nxt)
+            if profiling.DEBUG_VI:
+                print(f"[vi] rung {nxt} at kf {kf_id} t={self._last_t:.1f} "
+                      f"elapsed={elapsed:.1f}: ran={ran}", flush=True)
+            if ran:
                 self._vi_stage = nxt
 
     # ------------------------------------------------------------------
     def _run_lvi_ba(self, kf_id: int, n_window: int | None = None,
-                    use_balm: bool = True, iters: int | None = None):
+                    use_balm: bool = True, iters: int | None = None,
+                    max_active: int | None = None):
         """Temporal-window visual-inertial(-LiDAR) BA (LocalLVIBA dispatch,
         LocalMapping.cc:158-173) with write-back of poses/velocities/biases.
 
@@ -1316,88 +1482,29 @@ class System:
         # factors, no observations, and a fixed identity-anchored state
         window = list(range(kf_id - n_real + 1, kf_id + 1))
         pad = P - n_real
-        window_padded = window + [mapstate.NO_KF] * pad
         window_arr = jnp.asarray(
             window + [0] * pad, jnp.int32)  # clipped gathers for pads
         wvalid = jnp.asarray([True] * n_real + [False] * pad)
-        fac = imu_mode.window_factors(self.imu_store, window_padded,
-                                      has_factor=self._has_factor_host)
-        win_pos, uvr, inv_s2, stereo, ok = mapstate.landmark_major_obs(
-            self.map, jnp.asarray(window_padded, jnp.int32), self.sigma2
-        )
-        from ..solver.lm import BAObservations
-        # compact to the active-landmark budget (see run_local_ba): the
-        # 15-dof LVI Schur cross-terms are even bigger than the visual ones
-        lm_active_full = jnp.any(ok, axis=1) & self.map.lm_valid
-        sel = jnp.argsort(~lm_active_full)[
-            : self._ba_active_bucket()].astype(jnp.int32)
-        obs = BAObservations(pose_idx=win_pos[sel], uv=uvr[sel],
-                             inv_sigma2=inv_s2[sel], stereo=stereo[sel],
-                             valid=ok[sel])
-        lm_active = lm_active_full[sel]
-        T_wb_win = self._kf_body_poses(window_arr)
-        vel0 = self._seed_velocities(window_arr, T_wb_win)
-        # per-KF biases (estimated in the window; seeded by the inertial
-        # initialization, NOT pinned to the ESEKF values as in round 1)
-        bg0 = jnp.where(self.imu_store.vel_opt[window_arr][:, None],
-                        self.imu_store.bg[window_arr],
-                        jnp.tile(self.filt.x.bg, (P, 1)))
-        ba0 = jnp.where(self.imu_store.vel_opt[window_arr][:, None],
-                        self.imu_store.ba[window_arr],
-                        jnp.tile(self.filt.x.ba, (P, 1)))
-        # padded slots: identity-anchored finite state, held fixed
-        T_wb_win = jnp.where(wvalid[:, None, None], T_wb_win,
-                             jnp.eye(4, dtype=T_wb_win.dtype))
-        state0 = inertial_ba.InertialState(
-            T_wb=T_wb_win, vel=vel0 * wvalid[:, None], bg=bg0, ba=ba0,
-        )
-        fixed = jnp.zeros(P, bool).at[0].set(True) | ~wvalid
-        # BALM plane eigen-factor over the first <= balm_window poses
-        # (EdgeLidar in LocalLVIBA, OptimizerWithLidar.cc:697-727)
-        balm_kw = {}
-        if use_balm and self.lidar_enabled and self.cfg.lidar.w_lba > 0:
-            from ..solver import balm as balm_mod
-            n_l = min(self.cfg.lidar.balm_window, P)
-            lidx = window_arr[:n_l]
-            T_wl_init = jax.vmap(
-                lambda T: lie.se3_inverse(T) @ self.T_cl
-            )(jnp.where(wvalid[:n_l, None, None], self.map.kf_T_cw[lidx],
-                        jnp.eye(4, dtype=self.map.kf_T_cw.dtype)))
-            clusters = balm_mod.build_clusters(
-                self.lidar_store.points[lidx],
-                self.lidar_store.valid[lidx] & wvalid[:n_l, None],
-                T_wl_init,
-                voxel_size=self.cfg.lidar.balm_voxel,
-                max_voxels=self.cfg.lidar.balm_max_voxels,
-                min_points=self.cfg.lidar.balm_min_points,
-            )
-            balm_kw = dict(
-                balm_clusters=clusters,
-                T_bl=self.T_bc @ self.T_cl,     # body-from-lidar
-                w_lidar=self.cfg.lidar.w_lba,
-                use_balm=True, n_lidar=n_l,
-            )
-        res = inertial_ba.lvi_ba(
-            self.cam, self.T_cb, state0, self.map.lm_pos[sel], obs, fac,
-            fixed, lm_active, self.gravity_vis,
+        # consecutive-pair factor validity from the host has-factor mirror
+        fac_valid = jnp.asarray(
+            [self._has_factor_host[b] for b in window[1:]]
+            + [False] * pad)
+        use_balm = use_balm and self.lidar_enabled and self.cfg.lidar.w_lba > 0
+        n_l = min(self.cfg.lidar.balm_window, P) if use_balm else 0
+        lidar_in = self.lidar_store if use_balm else local_mapping.LidarStore(
+            jnp.zeros((1, 1, 3), jnp.float32), jnp.zeros((1, 1), bool))
+        self.map, self.imu_store = _lvi_kernel(
+            self.map, self.imu_store, lidar_in, window_arr, wvalid,
+            fac_valid, self.filt.x.bg, self.filt.x.ba, self.cam, self.T_cb,
+            self.T_bc, self.T_cl, self.sigma2, self.gravity_vis,
             iters=iters if iters is not None else self.cfg.tracking.ba_iters,
-            **balm_kw,
-        )
-        # write back: T_cw = inv(T_wb @ T_bc); velocities + biases
-        T_cw_new = jax.vmap(lambda T: lie.se3_inverse(T @ self.T_bc))(res.state.T_wb)
-        lm_pos_new = self.map.lm_pos.at[sel].set(
-            jnp.where(lm_active[:, None], res.X_w, self.map.lm_pos[sel])
-        )
-        w_sc = jnp.where(wvalid, window_arr, self.cfg.tracking.max_kf)
-        self.map = self.map._replace(
-            kf_T_cw=self.map.kf_T_cw.at[w_sc].set(T_cw_new, mode="drop"),
-            lm_pos=lm_pos_new,
-        )
-        self.imu_store = self.imu_store._replace(
-            vel=self.imu_store.vel.at[w_sc].set(res.state.vel, mode="drop"),
-            vel_opt=self.imu_store.vel_opt.at[w_sc].set(True, mode="drop"),
-            bg=self.imu_store.bg.at[w_sc].set(res.state.bg, mode="drop"),
-            ba=self.imu_store.ba.at[w_sc].set(res.state.ba, mode="drop"),
+            use_balm=use_balm, n_l=n_l,
+            max_active=max_active if max_active is not None
+            else self._ba_active_bucket(),
+            balm_voxel=float(self.cfg.lidar.balm_voxel),
+            balm_max_voxels=self.cfg.lidar.balm_max_voxels,
+            balm_min_points=self.cfg.lidar.balm_min_points,
+            w_lba=float(self.cfg.lidar.w_lba),
         )
         # (the caller recomposes self.T_cw against the refined KF pose)
 

@@ -113,7 +113,7 @@ def test_inertial_ba_matches_visual_long_run():
 
 
 @pytest.mark.slow
-def test_starved_visual_frames_held_by_tight_coupling():
+def test_starved_visual_frames_held_by_tight_coupling(monkeypatch):
     """VERDICT r2 missing #1 done-criterion, redesigned per VERDICT r3 #3:
     starve the MECHANISM, not just the matches. During a mid-sequence
     stretch (a) the surviving features are confined to one small image
@@ -134,20 +134,20 @@ def test_starved_visual_frames_held_by_tight_coupling():
     STARVE = set(range(22, 31))
     PIX_NOISE = 1.5
 
-    class PiSpy:
-        """Proxy for the pose_inertial module counting prior-chain solves."""
+    class RefineSpy:
+        """Wrapper over the fused _vi_refine_kernel counting prior-chain
+        (use_last_frame) solves — the ...LastFrame path runs inside the
+        single fused program, so the branch static is the observable."""
 
-        def __init__(self, mod):
-            self._mod = mod
+        def __init__(self, kernel):
+            self._kernel = kernel
             self.lf_frames = []
             self.cur_frame = lambda: -1
 
-        def __getattr__(self, name):
-            return getattr(self._mod, name)
-
-        def optimize_last_frame(self, *a, **kw):
-            self.lf_frames.append(self.cur_frame())
-            return self._mod.optimize_last_frame(*a, **kw)
+        def __call__(self, *a, **kw):
+            if kw.get("use_last_frame"):
+                self.lf_frames.append(self.cur_frame())
+            return self._kernel(*a, **kw)
 
     def run(enable_vi_refine):
         cfg = dataclasses.replace(imu_cfg(), inertial_ba=True)
@@ -160,9 +160,9 @@ def test_starved_visual_frames_held_by_tight_coupling():
             n_frames=40, cam=syn.SMALL, seed=3, n_scan=2048,
         )
         slam = sys_mod.System(cfg)
-        spy = PiSpy(slam._pi)
+        spy = RefineSpy(sys_mod._vi_refine_kernel)
         spy.cur_frame = lambda: slam.frame_idx
-        slam._pi = spy
+        monkeypatch.setattr(sys_mod, "_vi_refine_kernel", spy)
         if not enable_vi_refine:
             slam._vi_frame_refine = lambda res: None
         # LIO-prediction corruption: ~4 cm + ~0.9 deg of extra relative
