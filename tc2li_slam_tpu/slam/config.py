@@ -65,6 +65,12 @@ class LidarConfig:
     blind: float = 2.0
     det_range: float = 100.0
     plane_thresh: float = 0.1
+    feature_extract: bool = False  # LOAM-style surf/edge extraction
+    #   (ops.scan_features, the give_feature analog). The reference ships
+    #   this DISABLED in every KITTI config (feature_enabled=0) and
+    #   voxel-downsamples raw points instead — same default here; enable
+    #   for rigs that used it upstream, feeding ring-organized scans
+    #   through scan_features.extract_features_rings in the app layer.
     max_iters: int = 3             # ESEKF NUM_MAX_ITERATIONS
     lio_work_cap: int = 8192       # ESEKF update-point budget per scan: the
     #   whole scan step scales with it (433 -> 152 ms measured 32k -> 8k,

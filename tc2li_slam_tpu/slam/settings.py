@@ -213,3 +213,48 @@ def load_settings(
         else:
             kwargs[k] = v
     return cfg_mod.SystemConfig(**kwargs)
+
+
+def build_rectifier(settings_yaml: str):
+    """StereoRectifier for an UNRECTIFIED stereo rig, or None.
+
+    The reference detects the need to rectify from per-camera distortion +
+    the inter-camera transform in its (new-format) settings
+    (Settings::readCamera2 + precomputeRectificationMaps, Settings.h:76-129;
+    applied in System.cc:241-253). Keys: Camera1.fx..k2/p1/p2(,k3),
+    Camera2.*, Stereo.T_c1_c2 (camera-1-from-camera-2, ORB-SLAM3's Tlr).
+    Pre-rectified configs (no Camera1.k1 / no stereo transform) return None
+    — every KITTI config lands here.
+    """
+    s = parse_opencv_yaml(settings_yaml)
+    if "Camera1.k1" not in s:
+        return None
+    T = None
+    for key in ("Stereo.T_c1_c2", "Tlr"):
+        if key in s:
+            T = np.asarray(s[key], np.float64)
+            break
+    if T is None:
+        return None
+
+    def K_D(pfx):
+        K = np.array([
+            [float(s[f"{pfx}.fx"]), 0.0, float(s[f"{pfx}.cx"])],
+            [0.0, float(s[f"{pfx}.fy"]), float(s[f"{pfx}.cy"])],
+            [0.0, 0.0, 1.0],
+        ])
+        D = [float(s.get(f"{pfx}.{k}", 0.0))
+             for k in ("k1", "k2", "p1", "p2", "k3")]
+        return K, np.asarray(D)
+
+    from ..geom.rectify import StereoRectifier
+    K1, D1 = K_D("Camera1")
+    K2, D2 = K_D("Camera2")
+    W = int(s.get("Camera.width", s.get("Camera1.width", 1241)))
+    H = int(s.get("Camera.height", s.get("Camera1.height", 376)))
+    # T_c1_c2 -> cam2-from-cam1
+    T12 = np.linalg.inv(np.vstack([T, [0, 0, 0, 1]]) if T.shape == (3, 4) else T)
+    model = "equidistant" if "KannalaBrandt" in str(
+        s.get("Camera.type", "")) else "radtan"
+    return StereoRectifier(K1, D1, K2, D2, T12[:3, :3], T12[:3, 3],
+                           (W, H), model=model)

@@ -26,8 +26,8 @@ RUN_SLOW=0
 # ones): each runs in a fresh interpreter, so executables + fixtures are
 # released between chunks.
 CHUNKS=(
-  "tests/test_lie.py tests/test_camera.py tests/test_orb.py tests/test_matching.py tests/test_triangulation.py tests/test_pallas_kernels.py"
-  "tests/test_voxel_map.py tests/test_imu.py tests/test_esekf.py tests/test_undistort.py tests/test_native.py tests/test_settings_eval.py"
+  "tests/test_lie.py tests/test_camera.py tests/test_orb.py tests/test_matching.py tests/test_triangulation.py tests/test_pallas_kernels.py tests/test_rectify.py"
+  "tests/test_voxel_map.py tests/test_imu.py tests/test_esekf.py tests/test_undistort.py tests/test_native.py tests/test_settings_eval.py tests/test_scan_features.py"
   "tests/test_solver.py tests/test_inertial_ba.py tests/test_inertial_init.py tests/test_pose_inertial.py tests/test_sim3_loop.py"
   "tests/test_mapstate.py tests/test_culling.py tests/test_bow_reloc.py tests/test_loop_closing.py tests/test_viewer_profiling.py tests/test_atlas_checkpoint.py"
   "tests/test_e2e.py tests/test_reloc_system.py tests/test_robustness.py tests/test_imu_mode.py tests/test_loop_e2e.py"
