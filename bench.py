@@ -228,6 +228,7 @@ def run_imu_mode(frames, imgs_q, scans_q, cfg, n_frames, n_warm):
     for i in range(min(n_warm, len(frames))):
         track(i)
     slam.prewarm()  # incl. the VIBA1/VIBA2 ladder + FullInertialBA window
+    np.asarray(slam.T_cw)  # drain the queue before the measured window
     slam.timers.reset()
     n_meas = max(min(n_warm + n_frames, len(frames)) - n_warm, 0)
     t0 = time.perf_counter()
@@ -343,6 +344,8 @@ def main():
     for fr, sq, iq in zip(frames[:n_warm], scans_q[:n_warm], imgs_q[:n_warm]):
         slam.track(iq[0], iq[1], fr.t, sq, None)
     slam.prewarm()
+    np.asarray(slam.T_cw)  # drain the device queue: warmup/prewarm work
+    #                        must not bleed into the measured window
     slam.timers.reset()  # stage stats = steady state only
 
     # steady state: prefetch frame k+1's sensor arrays (async H2D) before

@@ -193,6 +193,11 @@ def main(argv=None):
                        scan_times=stimes)
         else:
             slam.track(img_l, img_r, t_i, scan, svalid)
+        if i == 10 and slam.n_kf_host >= 3:
+            # compile the data-dependent program variants (recovery path,
+            # culls, every BA bucket) up front instead of stalling a live
+            # frame minutes in — they cache to disk for later runs
+            slam.prewarm()
         if i % 100 == 0:
             print(f"frame {i}/{n} state={slam.state} kf={slam.n_kf_host}",
                   file=sys.stderr)
