@@ -350,6 +350,52 @@ def features_per_level(n_features: int, n_levels: int, scale: float) -> list[int
     return per
 
 
+def _gather_patches_stacked(stack, lvl, rows, cols, half: int, pad: int):
+    """[K, 2h+1, 2h+1] patches from an edge-padded level stack
+    [n_levels, H0+2p, W0+2p]; (rows, cols) are level coordinates. Each
+    level was edge-padded by ``pad`` before stacking, so clamping
+    semantics match the per-level path exactly."""
+    size = 2 * half + 1
+    off = pad - half
+
+    def one(li, r, c):
+        sl = jax.lax.dynamic_slice(
+            stack, (li, r + off, c + off), (1, size, size))
+        return sl[0]
+
+    return jax.vmap(one)(lvl, rows, cols)
+
+
+def compute_orientation_stacked(stack, lvl, rows, cols, pad: int):
+    patches = _gather_patches_stacked(stack, lvl, rows, cols, HALF_PATCH, pad)
+    mask = jnp.asarray(_IC_MASK)
+    m10 = jnp.sum(patches * mask * jnp.asarray(_IC_U), axis=(1, 2))
+    m01 = jnp.sum(patches * mask * jnp.asarray(_IC_V), axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def compute_descriptors_stacked(blur_stack, lvl, rows, cols, angles, pad: int):
+    pat = jnp.asarray(PATTERN.astype(np.float32))
+    px = jnp.concatenate([pat[:, 0], pat[:, 2]])
+    py = jnp.concatenate([pat[:, 1], pat[:, 3]])
+    a = jnp.cos(angles)[:, None]
+    b = jnp.sin(angles)[:, None]
+    roff = jnp.round(px[None] * b + py[None] * a).astype(jnp.int32)
+    coff = jnp.round(px[None] * a - py[None] * b).astype(jnp.int32)
+    R = _PATTERN_RADIUS
+    S = 2 * R + 1
+    patches = _gather_patches_stacked(blur_stack, lvl, rows, cols, R, pad)
+    patches_q = jnp.round(patches).astype(jnp.bfloat16).reshape(-1, S * S)
+    tap = (jnp.clip(roff, -R, R) + R) * S + (jnp.clip(coff, -R, R) + R)
+    oh = jax.nn.one_hot(tap, S * S, dtype=jnp.bfloat16)
+    vals = jnp.einsum("kts,ks->kt", oh, patches_q,
+                      preferred_element_type=jnp.float32)
+    bits = (vals[:, :256] < vals[:, 256:]).astype(jnp.uint32)
+    words = bits.reshape(-1, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
 @partial(jax.jit, static_argnames=("n_features", "n_levels", "scale", "ini_th", "min_th"))
 def extract(
     img: jax.Array,  # [H, W] uint8/float grayscale
@@ -359,35 +405,53 @@ def extract(
     ini_th: float = 20.0,
     min_th: float = 7.0,
 ) -> Keypoints:
-    """Full pyramid ORB extraction, padded to ``n_features`` keypoints."""
+    """Full pyramid ORB extraction, padded to ``n_features`` keypoints.
+
+    Detection/selection run per level (they need the level grids); the
+    gather-bound orientation + rBRIEF run ONCE over all levels' keypoints
+    against edge-padded level stacks — the per-level calls left the MXU
+    one-hot contraction running at tiny batch sizes on upper levels."""
     H, W = img.shape
     per_level = features_per_level(n_features, n_levels, scale)
     f = img.astype(jnp.float32)
 
-    all_parts = []
+    pad = max(HALF_PATCH, _PATTERN_RADIUS)
+    img_stack = jnp.zeros((n_levels, H + 2 * pad, W + 2 * pad), jnp.float32)
+    blur_stack = jnp.zeros_like(img_stack)
+    parts = []
     for lvl in range(n_levels):
         s = scale ** lvl
         Hl, Wl = max(int(round(H / s)), 64), max(int(round(W / s)), 64)
         lvl_img = f if lvl == 0 else jax.image.resize(f, (Hl, Wl), "linear")
         score = detect_level(lvl_img, ini_th, min_th)
-        k_l = per_level[lvl]
-        rows, cols, scores = select_topk_grid(score, k_l)
-        angles = compute_orientation(lvl_img, rows, cols)
-        blurred = gaussian_blur7(lvl_img)
-        desc = compute_descriptors(blurred, rows, cols, angles)
-        valid = scores > 0
-        xy_level = jnp.stack([cols, rows], -1).astype(jnp.float32)
-        xy0 = xy_level * s
-        all_parts.append(
-            Keypoints(
-                xy=xy0,
-                xy_level=xy_level,
-                level=jnp.full((k_l,), lvl, jnp.int32),
-                angle=angles,
-                score=scores,
-                desc=desc,
-                valid=valid,
-            )
-        )
+        rows, cols, scores = select_topk_grid(score, per_level[lvl])
+        img_stack = img_stack.at[
+            lvl, : Hl + 2 * pad, : Wl + 2 * pad].set(
+            jnp.pad(lvl_img, pad, mode="edge"))
+        blur_stack = blur_stack.at[
+            lvl, : Hl + 2 * pad, : Wl + 2 * pad].set(
+            jnp.pad(gaussian_blur7(lvl_img), pad, mode="edge"))
+        parts.append((rows, cols, scores, lvl, s))
 
-    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *all_parts)
+    rows_all = jnp.concatenate([p[0] for p in parts])
+    cols_all = jnp.concatenate([p[1] for p in parts])
+    scores_all = jnp.concatenate([p[2] for p in parts])
+    lvl_all = jnp.concatenate([
+        jnp.full((p[0].shape[0],), p[3], jnp.int32) for p in parts])
+    s_all = jnp.concatenate([
+        jnp.full((p[0].shape[0],), p[4], jnp.float32) for p in parts])
+
+    angles = compute_orientation_stacked(
+        img_stack, lvl_all, rows_all, cols_all, pad)
+    desc = compute_descriptors_stacked(
+        blur_stack, lvl_all, rows_all, cols_all, angles, pad)
+    xy_level = jnp.stack([cols_all, rows_all], -1).astype(jnp.float32)
+    return Keypoints(
+        xy=xy_level * s_all[:, None],
+        xy_level=xy_level,
+        level=lvl_all,
+        angle=angles,
+        score=scores_all,
+        desc=desc,
+        valid=scores_all > 0,
+    )
