@@ -77,7 +77,6 @@ def extract_features(
     valid = valid & (r > blind)
     nxt = _shift(points, 1)
     d_fwd = jnp.sum((nxt - points) ** 2, axis=-1)        # types[i].dista
-    v_ok = valid & _shift(valid, 1)
 
     # --- plane test: window [i, i+G) against its chord
     G = GROUP_G
