@@ -1172,6 +1172,23 @@ class System:
                     iters=t.ba_iters, n_kf=self.n_kf_host,
                     max_active=b, mesh=self.mesh)
 
+        # post-loop-closure global BA (64-KF window): only reachable with
+        # place recognition on, but then it fires exactly once mid-run —
+        # the worst place for its compile
+        if (self.voc is not None and self.cfg.loop_closing
+                and self.n_kf_host >= 3):
+            alive = [k for k in range(self.n_kf_host) if self.kf_alive[k]]
+            window = alive[-self.GLOBAL_BA_KFS:]
+            pad = self.GLOBAL_BA_KFS - len(window)
+            for b in self._ba_buckets_reachable():
+                local_mapping.run_local_ba(
+                    m, None, window[-1], self.cam, self.sigma2, self.T_cl,
+                    n_window=self.GLOBAL_BA_KFS, w_lba=0.0, iters=8,
+                    n_kf=self.n_kf_host,
+                    window=window + [mapstate.NO_KF] * pad,
+                    fixed=[w == window[0] for w in window] + [True] * pad,
+                    max_active=b)
+
         if self.use_imu:
             self._prewarm_imu(kf_id)
 
